@@ -1,0 +1,21 @@
+"""lidar_odometry_tpu — a TPU-native LiDAR odometry + SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+C++ system (`SiarheiHerasiuta/lidar_odometry`): Morton/voxel downsampling,
+a 2-level voxel surfel map, point-to-plane ICP with Gauss-Newton on SE(3)
+and a PKO adaptive M-estimator, LiDAR-Iris loop closure, and pose-graph
+optimization — expressed as fixed-shape array programs that compile onto
+TPU (sorted device tables + batched gathers instead of pointer-chasing
+hash maps; masked vectorized ops instead of per-point branching; async
+dispatch instead of threads).
+
+Layout (mirrors the reference layer map, SURVEY.md §1):
+  utils/    L0: Lie groups, voxel keys, 3x3 eigendecomposition, logging, IO
+  ops/      L1/L2: voxel filter, voxel surfel map, ICP, PKO, Iris descriptor
+  models/   L3: frames, estimator (pipeline orchestrator), loop closure, PGO
+  parallel/ device-mesh sharding: sharded map lookup, distributed Schur PGO
+  io/       L5: dataset players (KITTI .bin, PLY), trajectory writers, eval
+  runtime/  native C++ data loader (ctypes) with numpy fallback
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,161 @@
+"""KITTI dataset player + trajectory writer (reference
+app/player/kitti_player.{h,cpp}).
+
+Drives the estimator over a sequence of KITTI velodyne .bin files,
+synthesizes 10 Hz timestamps, saves the trajectory in KITTI (camera-frame,
+reference kitti_player.cpp:934-954) or TUM format, and evaluates against
+ground truth with the reference's segment-based evaluator (eval.py).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..eval import ErrorStats, T_LIDAR_TO_CAM, evaluate_trajectory, lidar_pose_to_cam
+from ..models.estimator import Estimator
+from ..utils import logging_util as log
+from ..runtime import native_io
+
+
+def load_kitti_binary(path: str) -> np.ndarray:
+    """(N, 3) float32 from a KITTI .bin (x, y, z, intensity float4;
+    intensity dropped — reference PointCloudUtils.cpp:19-65). Uses the
+    native C++ loader when available."""
+    return native_io.load_kitti_binary(path)
+
+
+def parse_kitti_pose_line(line: str) -> np.ndarray:
+    vals = [float(v) for v in line.split()]
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :4] = np.asarray(vals, np.float64).reshape(3, 4)
+    return T
+
+
+def load_kitti_gt(path: str) -> np.ndarray:
+    poses = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                poses.append(parse_kitti_pose_line(line))
+    return np.stack(poses) if poses else np.zeros((0, 4, 4))
+
+
+def pose_to_kitti_string(pose: np.ndarray) -> str:
+    """LiDAR-frame pose -> camera-frame 3x4 row (reference
+    pose_to_kitti_string, kitti_player.cpp:934-954)."""
+    cp = lidar_pose_to_cam(pose.astype(np.float64))
+    return " ".join(f"{cp[r, c]:.9f}" for r in range(3) for c in range(4))
+
+
+def save_trajectory_kitti(path: str, poses: np.ndarray):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for pose in poses:
+            f.write(pose_to_kitti_string(pose) + "\n")
+    log.info("[KittiPlayer] Saved trajectory: {}", path)
+
+
+def save_trajectory_tum(path: str, poses: np.ndarray, rate_hz: float = 10.0):
+    """TUM format: t x y z qx qy qz qw (reference kitti_player.cpp:548-574)."""
+    from scipy.spatial.transform import Rotation
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for i, pose in enumerate(poses):
+            q = Rotation.from_matrix(pose[:3, :3]).as_quat()  # x y z w
+            t = pose[:3, 3]
+            f.write(f"{i / rate_hz:.6f} {t[0]:.8f} {t[1]:.8f} {t[2]:.8f} "
+                    f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f}\n")
+
+
+@dataclass
+class KittiPlayerResult:
+    frames_processed: int = 0
+    total_time_s: float = 0.0
+    fps: float = 0.0
+    error_stats: Optional[ErrorStats] = None
+    trajectory_path: str = ""
+    per_frame_ms: List[float] = field(default_factory=list)
+
+
+class KittiPlayer:
+    """reference KittiPlayer::run/run_from_yaml (kitti_player.cpp:39-292)."""
+
+    def __init__(self, config: SystemConfig):
+        self.cfg = config
+        self.estimator: Optional[Estimator] = None
+
+    def bin_files(self) -> List[str]:
+        """Sorted .bin enumeration (reference get_bin_files,
+        kitti_player.cpp:892-910)."""
+        d = os.path.join(self.cfg.data_directory, "sequences", self.cfg.seq,
+                         "velodyne")
+        if not os.path.isdir(d):
+            d = self.cfg.data_directory
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".bin")]
+
+    def gt_path(self) -> Optional[str]:
+        if not self.cfg.ground_truth_directory:
+            return None
+        p = os.path.join(self.cfg.ground_truth_directory, f"{self.cfg.seq}.txt")
+        return p if os.path.isfile(p) else None
+
+    def run(self, start: int = 0, end: Optional[int] = None, skip: int = 1,
+            sync_loop: bool = False, prefetch: bool = True) -> KittiPlayerResult:
+        result = KittiPlayerResult()
+        files = self.bin_files()
+        if not files:
+            log.error("[KittiPlayer] No .bin files found under {}", self.cfg.data_directory)
+            return result
+        files = files[start:end:skip]
+        log.info("[KittiPlayer] {} frames (seq {})", len(files), self.cfg.seq)
+
+        self.estimator = Estimator(self.cfg, sync_loop=sync_loop)
+        loader = native_io.Prefetcher(files) if prefetch else None
+        t_run = time.perf_counter()
+        for i, path in enumerate(files):
+            t0 = time.perf_counter()
+            cloud = loader.next() if loader else load_kitti_binary(path)
+            try:
+                self.estimator.process_frame(cloud)
+            except Exception as e:  # per-frame try/catch (ply_player.cpp:513-515)
+                log.error("[KittiPlayer] frame {} failed: {}", i, repr(e))
+            result.per_frame_ms.append((time.perf_counter() - t0) * 1e3)
+        result.total_time_s = time.perf_counter() - t_run
+        result.frames_processed = len(files)
+        result.fps = len(files) / max(result.total_time_s, 1e-9)
+
+        traj = self.estimator.trajectory()
+        if self.cfg.save_trajectory and self.cfg.output_directory:
+            out_dir = os.path.join(self.cfg.output_directory, self.cfg.seq)
+            fname = f"{self.cfg.seq}_lo_tpu.txt"
+            result.trajectory_path = os.path.join(out_dir, fname)
+            if self.cfg.trajectory_format == "tum":
+                save_trajectory_tum(result.trajectory_path, traj)
+            else:
+                save_trajectory_kitti(result.trajectory_path, traj)
+
+        gt_file = self.gt_path()
+        if gt_file is not None:
+            gt = load_kitti_gt(gt_file)
+            est_cam = np.stack([lidar_pose_to_cam(p.astype(np.float64)) for p in traj])
+            result.error_stats = evaluate_trajectory(est_cam, gt)
+            s = result.error_stats
+            log.info("[KittiPlayer] ATE RMSE {:.3f} m | trans {:.2f}% | rot {:.3f} deg/100m",
+                     s.ate_rmse, s.translation_mean, s.rotation_mean)
+        self.estimator.shutdown()
+        return result
+
+
+def run_from_yaml(config_path: str, **kw) -> KittiPlayerResult:
+    from ..config import load_config
+    cfg = load_config(config_path)
+    return KittiPlayer(cfg).run(**kw)

@@ -1,0 +1,145 @@
+"""PLY dataset player (reference app/player/ply_player.{h,cpp}) for
+MID360-style indoor datasets: a directory of per-frame .ply files, frame
+number parsed from the filename, trajectory saved in TUM or KITTI format.
+
+The header parser handles binary_little_endian / ascii formats with
+arbitrary per-vertex property layouts and byte sizes (reference
+parse_ply_header, ply_player.cpp:373-461).
+"""
+from __future__ import annotations
+
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..models.estimator import Estimator
+from ..utils import logging_util as log
+
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str) -> np.ndarray:
+    """(N, 3) float32 x,y,z from an ascii or binary_little_endian PLY."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"not a PLY file: {path}")
+        fmt = None
+        n_vertex = 0
+        props: List[tuple] = []
+        in_vertex = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unexpected EOF in PLY header")
+            tok = line.decode("ascii", "replace").strip().split()
+            if not tok:
+                continue
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                in_vertex = tok[1] == "vertex"
+                if in_vertex:
+                    n_vertex = int(tok[2])
+            elif tok[0] == "property" and in_vertex:
+                if tok[1] == "list":
+                    raise ValueError("list properties unsupported in vertex element")
+                props.append((tok[2], _PLY_TYPES[tok[1]]))
+            elif tok[0] == "end_header":
+                break
+        if fmt == "ascii":
+            data = np.loadtxt(f, max_rows=n_vertex, ndmin=2)
+            names = [p[0] for p in props]
+            idx = [names.index(c) for c in ("x", "y", "z")]
+            return data[:, idx].astype(np.float32)
+        if fmt != "binary_little_endian":
+            raise ValueError(f"unsupported PLY format: {fmt}")
+        dtype = np.dtype([(name, "<" + t) for name, t in props])
+        data = np.fromfile(f, dtype=dtype, count=n_vertex)
+        out = np.empty((len(data), 3), np.float32)
+        for i, c in enumerate(("x", "y", "z")):
+            out[:, i] = data[c].astype(np.float32)
+        return out
+
+
+def save_ply(path: str, points: np.ndarray):
+    """Binary-little-endian PLY writer (reference save_point_cloud_ply,
+    PointCloudUtils.cpp:146-184)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pts = np.ascontiguousarray(points, dtype="<f4")
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(pts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        f.write(pts.tobytes())
+
+
+def frame_number(path: str) -> int:
+    """Frame index from filename digits (reference ply_player.cpp:696-708)."""
+    m = re.findall(r"(\d+)", os.path.basename(path))
+    return int(m[-1]) if m else 0
+
+
+@dataclass
+class PlyPlayerResult:
+    frames_processed: int = 0
+    total_time_s: float = 0.0
+    fps: float = 0.0
+    trajectory_path: str = ""
+
+
+class PLYPlayer:
+    """reference PLYPlayer::run (ply_player.cpp:41-265)."""
+
+    def __init__(self, config: SystemConfig):
+        self.cfg = config
+        self.estimator: Optional[Estimator] = None
+
+    def ply_files(self) -> List[str]:
+        d = self.cfg.data_directory
+        if not os.path.isdir(d):
+            return []
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".ply")]
+        return sorted(files, key=frame_number)
+
+    def run(self, start: int = 0, end: Optional[int] = None, skip: int = 1,
+            sync_loop: bool = False) -> PlyPlayerResult:
+        result = PlyPlayerResult()
+        files = self.ply_files()[start:end:skip]
+        if not files:
+            log.error("[PLYPlayer] No .ply files found under {}", self.cfg.data_directory)
+            return result
+        log.info("[PLYPlayer] {} frames", len(files))
+        self.estimator = Estimator(self.cfg, sync_loop=sync_loop)
+        t_run = time.perf_counter()
+        for i, path in enumerate(files):
+            try:
+                cloud = load_ply(path)
+                self.estimator.process_frame(cloud)
+            except Exception as e:
+                log.error("[PLYPlayer] frame {} failed: {}", i, repr(e))
+        result.total_time_s = time.perf_counter() - t_run
+        result.frames_processed = len(files)
+        result.fps = len(files) / max(result.total_time_s, 1e-9)
+
+        if self.cfg.save_trajectory and self.cfg.output_directory:
+            from .kitti import save_trajectory_kitti, save_trajectory_tum
+            traj = self.estimator.trajectory()
+            out_dir = os.path.join(self.cfg.output_directory, self.cfg.seq)
+            result.trajectory_path = os.path.join(out_dir, f"{self.cfg.seq}_lo_tpu.txt")
+            if self.cfg.trajectory_format == "tum":
+                save_trajectory_tum(result.trajectory_path, traj)
+            else:
+                save_trajectory_kitti(result.trajectory_path, traj)
+        self.estimator.shutdown()
+        return result

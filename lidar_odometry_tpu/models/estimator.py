@@ -1,0 +1,561 @@
+"""The SLAM pipeline orchestrator (reference src/processing/Estimator.{h,cpp}).
+
+Owns all state: the device voxel surfel map, the jitted ICP engine, the
+PKO constants, the keyframe records, the loop-closure detector, the pose
+graph, and the background loop/PGO worker. `process_frame` is the single
+front door (reference Estimator.cpp:116-233):
+
+  apply pending PGO -> preprocess (voxel filter) -> ICP vs map with a
+  constant-velocity initial guess -> velocity update -> keyframe decision
+  -> create_keyframe (PGO odom factor, map update, loop query) -> cleanup.
+
+Threading mirrors the reference: one background worker consumes loop
+queries (newest wins), runs Iris detection + loop ICP + batch PGO off the
+critical path, and posts a PGOResult mailbox that the main thread applies
+at the top of the next frame (reference Estimator.cpp:890-957, 1139-1194).
+A `sync_loop=True` mode runs the worker inline for deterministic tests.
+
+TPU mapping: per-scan compute is 3 jitted device programs (filter, ICP,
+and on keyframes the map update); host<->device traffic per frame is one
+pose (64 B) down and the padded scan up.
+"""
+from __future__ import annotations
+
+import math
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..ops import icp, knn, pko, voxel_filter, voxel_map as vm
+from ..utils import lie
+from ..utils import logging_util as log
+from .loop_closure import LoopCandidate, LoopClosureConfig, LoopClosureDetector
+from .pose_graph import PoseGraphOptimizer
+
+__all__ = ["Estimator", "KeyframeRecord", "FrameRecord", "TimingStats"]
+
+
+@dataclass
+class KeyframeRecord:
+    """Host-side keyframe state (reference LidarFrame keyframe fields,
+    src/database/LidarFrame.h:60-389). Feature clouds are kept for every
+    keyframe (the reference's clear_heavy_data_for_old_keyframe also keeps
+    them, LidarFrame.cpp:326-344) — they feed loop-closure ICP."""
+    kf_id: int
+    stored_pose: np.ndarray             # (4,4) world pose (updated by PGO)
+    relative_pose: np.ndarray           # from previous keyframe
+    feature_cloud: np.ndarray           # (cap, 3) local frame, padded
+    feature_mask: np.ndarray            # (cap,)
+    frame_index: int = -1
+
+
+@dataclass
+class FrameRecord:
+    """Per-frame trajectory record. Non-keyframe poses are DERIVED as
+    ref_keyframe_pose * relative at read time so PGO corrections propagate
+    for free (reference LidarFrame.cpp:113-128)."""
+    kf_ref: int                         # index into keyframes; -1 if none
+    relative_pose: np.ndarray           # from the reference keyframe
+    is_keyframe: bool
+    kf_index: int = -1                  # own keyframe index if keyframe
+
+
+@dataclass
+class TimingStats:
+    preprocessing_ms: float = 0.0
+    icp_ms: float = 0.0
+    map_update_ms: float = 0.0
+    total_ms: float = 0.0
+
+
+@dataclass
+class PGOResult:
+    last_optimized_kf_id: int
+    optimized_poses: Dict[int, np.ndarray]
+    last_kf_correction: np.ndarray
+
+
+class Estimator:
+    def __init__(self, config: SystemConfig, sync_loop: bool = False):
+        self.cfg = config
+        self.sync_loop = sync_loop
+
+        self.icp_cfg = icp.ICPConfig(
+            max_iterations=config.max_iterations,
+            translation_tolerance=config.translation_threshold,
+            rotation_tolerance=config.rotation_threshold,
+            max_correspondence_distance=config.max_correspondence_distance,
+            min_correspondence_points=config.min_correspondence_points,
+            use_robust_loss=True,
+            robust_loss_delta=0.1,      # reference Estimator.cpp:69
+            use_surfel_correspondence=config.use_surfel_correspondence,
+            loss_type=config.loss_type,
+            use_adaptive_m_estimator=config.use_adaptive_m_estimator,
+            voxel_size=config.map_voxel_size,
+            hierarchy_factor=config.derived_hierarchy_factor(),
+        )
+        self.pko_consts = pko.make_pko_constants(
+            config.min_scale_factor, config.max_scale_factor,
+            config.num_alpha_segments, config.truncated_threshold,
+            config.pko_kernel_type, config.gmm_components,
+            config.gmm_sample_size)
+
+        self.map_state = vm.empty_map(config.map_l0_capacity, config.map_l1_capacity)
+        self.pose_graph = PoseGraphOptimizer()
+        self.loop_detector = LoopClosureDetector(
+            LoopClosureConfig(
+                enable_loop_detection=config.enable_loop_detection,
+                similarity_threshold=config.similarity_threshold,
+                min_keyframe_gap=config.min_keyframe_gap,
+                max_search_distance=config.max_search_distance,
+                enable_debug_output=config.enable_debug_output),
+            capacity=config.keyframe_capacity)
+
+        self.initialized = False
+        self.T_current = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_keyframe_pose = np.eye(4, dtype=np.float32)
+        self.next_keyframe_id = 0
+        self.keyframes: List[KeyframeRecord] = []
+        self.frames: List[FrameRecord] = []
+        self.last_successful_loop_kf_id = -1
+
+        self._prev_pose = np.eye(4, dtype=np.float32)
+        self._last_feat = None           # (device) last frame's feature cloud
+        self._last_mask = None
+
+        # background loop/PGO machinery (reference Estimator.cpp:890-957)
+        self._query_queue: deque = deque()
+        self._query_cv = threading.Condition()
+        self._result_lock = threading.Lock()
+        self._pending_result: Optional[PGOResult] = None
+        self._keyframes_lock = threading.Lock()
+        self._thread_running = False
+        self._pgo_in_progress = False
+        self._thread: Optional[threading.Thread] = None
+        if not sync_loop and config.enable_loop_detection:
+            self._thread_running = True
+            self._thread = threading.Thread(
+                target=self._loop_pgo_thread, daemon=True)
+            self._thread.start()
+
+        self.timing_history: List[TimingStats] = []
+        self.frame_count = 0
+        self.loop_constraint_count = 0
+
+    # ------------------------------------------------------------------
+    # Main pipeline
+    # ------------------------------------------------------------------
+
+    def process_frame(self, raw_points: np.ndarray, n_points: Optional[int] = None) -> bool:
+        """Process one scan (reference Estimator::process_frame,
+        Estimator.cpp:116-233). `raw_points` is (N, 3) float32 (padded or
+        exact); `n_points` marks valid entries when padded."""
+        t_start = time.perf_counter()
+        timing = TimingStats()
+        if raw_points is None or len(raw_points) == 0:
+            log.warn("[Estimator] Invalid frame or point cloud")
+            return False
+        if n_points is None:
+            n_points = len(raw_points)
+
+        self._apply_pending_pgo_result_if_available()
+
+        t0 = time.perf_counter()
+        feat, mask, n_feat = self._preprocess(raw_points, n_points)
+        timing.preprocessing_ms = (time.perf_counter() - t0) * 1e3
+
+        if not self.initialized:
+            self._initialize_first_frame(feat, mask)
+            timing.total_ms = (time.perf_counter() - t_start) * 1e3
+            self._record_timing(timing)
+            return True
+
+        # ICP with constant-velocity initial guess (Estimator.cpp:154-155)
+        t0 = time.perf_counter()
+        guess = jnp.asarray(self._prev_pose) @ jnp.asarray(self.velocity)
+        T_dev, success, n_corr = icp.icp_optimize(
+            self.map_state, feat, mask, guess, self.pko_consts, self.icp_cfg)
+        T_new = np.asarray(T_dev)
+        timing.icp_ms = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        self.T_current = T_new
+        # Velocity model update (Estimator.cpp:177)
+        self.velocity = np.linalg.inv(self._prev_pose) @ self.T_current
+
+        # Frame record relative to last keyframe (Estimator.cpp:186-191)
+        kf_ref = len(self.keyframes) - 1
+        rel = np.linalg.inv(self.keyframes[kf_ref].stored_pose) @ self.T_current
+        frame = FrameRecord(kf_ref=kf_ref, relative_pose=rel.astype(np.float32),
+                            is_keyframe=False)
+        self.frames.append(frame)
+
+        if self._should_create_keyframe(self.T_current):
+            self._create_keyframe(feat, mask, frame)
+        timing.map_update_ms = (time.perf_counter() - t0) * 1e3
+
+        self._prev_pose = self.T_current
+        self._last_feat, self._last_mask = feat, mask
+
+        timing.total_ms = (time.perf_counter() - t_start) * 1e3
+        self._record_timing(timing)
+        return True
+
+    def _preprocess(self, raw_points: np.ndarray, n_points: int):
+        """Stride + voxel downsample (reference preprocess_frame,
+        Estimator.cpp:561-589; the downsampled cloud doubles as the
+        feature cloud)."""
+        cap = self.cfg.scan_capacity
+        raw = jnp.asarray(np.ascontiguousarray(raw_points, dtype=np.float32))
+        feat, mask, n = voxel_filter.voxel_filter(
+            raw, jnp.int32(min(n_points, len(raw_points))),
+            voxel_size=self.cfg.voxel_size, stride=self.cfg.point_stride,
+            out_capacity=cap)
+        return feat, mask, n
+
+    def _initialize_first_frame(self, feat, mask):
+        """reference initialize_first_frame (Estimator.cpp:235-269)."""
+        self.T_current = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        frame = FrameRecord(kf_ref=-1, relative_pose=np.eye(4, dtype=np.float32),
+                            is_keyframe=False)
+        self.frames.append(frame)
+        self._create_keyframe(feat, mask, frame)
+        self._prev_pose = self.T_current
+        self._last_feat, self._last_mask = feat, mask
+        self.initialized = True
+
+    def _should_create_keyframe(self, pose: np.ndarray) -> bool:
+        """Distance/rotation thresholds vs the last keyframe pose
+        (reference should_create_keyframe, Estimator.cpp:349-368)."""
+        if not self.keyframes:
+            return True
+        diff = pose[:3, 3] - self.last_keyframe_pose[:3, 3]
+        distance = float(np.linalg.norm(diff))
+        R_rel = self.last_keyframe_pose[:3, :3].T @ pose[:3, :3]
+        cos_t = np.clip((np.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0)
+        angle = float(np.arccos(cos_t))
+        return (distance > self.cfg.keyframe_distance_threshold
+                or angle > self.cfg.keyframe_rotation_threshold)
+
+    @staticmethod
+    def _normalize_rotation(T: np.ndarray) -> np.ndarray:
+        """SVD projection of the rotation block (reference
+        MathUtils::normalize_rotation_matrix, MathUtils.cpp:363-386)."""
+        U, _, Vt = np.linalg.svd(T[:3, :3])
+        R = U @ Vt
+        if np.linalg.det(R) < 0:
+            U[:, 2] *= -1
+            R = U @ Vt
+        out = T.copy()
+        out[:3, :3] = R
+        return out
+
+    def _create_keyframe(self, feat, mask, frame: FrameRecord):
+        """reference create_keyframe (Estimator.cpp:370-530)."""
+        kf_id = self.next_keyframe_id
+        self.next_keyframe_id += 1
+
+        pose = self.T_current.astype(np.float32)
+        if self.keyframes:
+            prev = self.keyframes[-1]
+            rel_raw = np.linalg.inv(prev.stored_pose) @ pose
+            rel = self._normalize_rotation(rel_raw).astype(np.float32)
+            if self.cfg.enable_pgo:
+                self.pose_graph.add_keyframe_with_odom(
+                    prev.kf_id, kf_id, pose, rel,
+                    self.cfg.odometry_translation_noise,
+                    self.cfg.odometry_rotation_noise)
+        else:
+            rel = np.eye(4, dtype=np.float32)
+            if self.cfg.enable_pgo:
+                self.pose_graph.add_first_keyframe(kf_id, pose)
+
+        feat_np = np.asarray(feat)
+        mask_np = np.asarray(mask)
+        record = KeyframeRecord(
+            kf_id=kf_id, stored_pose=pose, relative_pose=rel,
+            feature_cloud=feat_np, feature_mask=mask_np,
+            frame_index=len(self.frames) - 1)
+        with self._keyframes_lock:
+            self.keyframes.append(record)
+        frame.is_keyframe = True
+        frame.kf_index = len(self.keyframes) - 1
+        frame.kf_ref = len(self.keyframes) - 1
+        frame.relative_pose = np.eye(4, dtype=np.float32)
+
+        # Map update with world-frame features (Estimator.cpp:449-457)
+        world = lie.transform_points(jnp.asarray(pose), feat)
+        sensor = jnp.asarray(pose[:3, 3])
+        self.map_state = vm.update_map(
+            self.map_state, world, mask, sensor,
+            self.cfg.max_range * 1.2,
+            voxel_size=self.cfg.map_voxel_size,
+            planarity_threshold=self.cfg.surfel_planarity_threshold,
+            hierarchy_factor=self.cfg.derived_hierarchy_factor(),
+            compute_surfels=self.cfg.use_surfel_correspondence)
+        # (KDTree mode needs no rebuild: the sorted L0 table IS the index.)
+
+        self.last_keyframe_pose = pose
+
+        # Loop query (Estimator.cpp:497-517)
+        if self.cfg.enable_loop_detection:
+            self.loop_detector.add_keyframe(feat_np, mask_np, kf_id, pose[:3, 3])
+            since_loop = kf_id - self.last_successful_loop_kf_id
+            if since_loop >= self.cfg.min_keyframe_gap:
+                if self.sync_loop:
+                    self._process_loop_query(kf_id)
+                else:
+                    with self._query_cv:
+                        self._query_queue.append(kf_id)
+                        self._query_cv.notify()
+
+    # ------------------------------------------------------------------
+    # Loop closure + PGO (reference Estimator.cpp:890-1137)
+    # ------------------------------------------------------------------
+
+    def _loop_pgo_thread(self):
+        while self._thread_running:
+            with self._query_cv:
+                self._query_cv.wait_for(
+                    lambda: self._query_queue or not self._thread_running,
+                    timeout=0.2)
+                if not self._thread_running:
+                    break
+                if not self._query_queue:
+                    continue
+                query_kf_id = self._query_queue[-1]   # newest wins (:911-913)
+                self._query_queue.clear()
+            try:
+                self._process_loop_query(query_kf_id)
+            except Exception as e:  # degrade silently like the reference
+                log.error("[Background] loop/PGO worker error: {}", repr(e))
+
+    def _find_keyframe(self, kf_id: int) -> Optional[KeyframeRecord]:
+        with self._keyframes_lock:
+            for kf in self.keyframes:
+                if kf.kf_id == kf_id:
+                    return kf
+        return None
+
+    def _process_loop_query(self, query_kf_id: int):
+        query_kf = self._find_keyframe(query_kf_id)
+        if query_kf is None:
+            return
+        candidates = self.loop_detector.detect_loop_closures(
+            query_kf.feature_cloud, query_kf.feature_mask, query_kf_id,
+            query_kf.stored_pose[:3, 3])
+        if not candidates:
+            return
+        self._pgo_in_progress = True
+        try:
+            self._run_pgo_for_loop(query_kf, candidates)
+        finally:
+            self._pgo_in_progress = False
+
+    def _run_pgo_for_loop(self, current_kf: KeyframeRecord,
+                          candidates: List[LoopCandidate]) -> bool:
+        """reference run_pgo_for_loop (Estimator.cpp:959-1137)."""
+        candidate = candidates[0]
+        matched_kf = self._find_keyframe(candidate.match_keyframe_id)
+        if matched_kf is None:
+            return False
+
+        # Loop ICP against the matched keyframe's world-frame feature cloud
+        # (reference optimize_loop builds exactly this target,
+        # IterativeClosestPointOptimizer.cpp:59-64).
+        matched_world = lie.transform_points(
+            jnp.asarray(matched_kf.stored_pose),
+            jnp.asarray(matched_kf.feature_cloud))
+        table = knn.build_point_table(
+            matched_world, jnp.asarray(matched_kf.feature_mask),
+            bin_size=self.cfg.voxel_size * 4.0)
+        T_rel_dev, success, inlier_ratio = icp.icp_optimize_loop(
+            jnp.asarray(current_kf.feature_cloud),
+            jnp.asarray(current_kf.feature_mask),
+            jnp.asarray(current_kf.stored_pose),
+            table, self.pko_consts, self.icp_cfg)
+        if not bool(success):
+            log.warn("[Background] Loop ICP failed {} <-> {}",
+                     candidate.query_keyframe_id, candidate.match_keyframe_id)
+            return False
+        inlier_ratio = float(inlier_ratio)
+        if inlier_ratio < 0.3:  # caller-side gate (Estimator.cpp:1015-1020)
+            log.warn("[Background] Loop rejected: {:.1f}% inliers < 30%",
+                     inlier_ratio * 100.0)
+            return False
+
+        T_rel = np.asarray(T_rel_dev, dtype=np.float64)
+        T_world_current = current_kf.stored_pose.astype(np.float64)
+        T_world_matched = matched_kf.stored_pose.astype(np.float64)
+        T_current_corrected = T_world_current @ T_rel
+        T_matched_to_current = np.linalg.inv(T_world_matched) @ T_current_corrected
+
+        if not self.cfg.enable_pgo:
+            return False
+        self.loop_constraint_count += 1
+
+        with self._keyframes_lock:
+            kf_ids = [kf.kf_id for kf in self.keyframes]
+            poses_before = [kf.stored_pose.copy() for kf in self.keyframes]
+
+        ok = self.pose_graph.add_loop_and_optimize(
+            matched_kf.kf_id, current_kf.kf_id, T_matched_to_current,
+            self.cfg.loop_translation_noise, self.cfg.loop_rotation_noise)
+        if not ok:
+            log.error("[Background] PGO failed!")
+            return False
+
+        optimized = self.pose_graph.get_all_optimized_poses()
+        last_kf_id = kf_ids[-1]
+        before = poses_before[-1].astype(np.float64)
+        after = optimized[last_kf_id]
+        correction = after @ np.linalg.inv(before)
+
+        result = PGOResult(
+            last_optimized_kf_id=last_kf_id,
+            optimized_poses=optimized,
+            last_kf_correction=correction.astype(np.float32))
+        with self._result_lock:
+            self._pending_result = result
+        if self.sync_loop:
+            self._apply_pending_pgo_result_if_available()
+        log.info("[Background] Loop {} <-> {} accepted ({:.0f}% inliers); PGO over {} KFs",
+                 candidate.query_keyframe_id, candidate.match_keyframe_id,
+                 inlier_ratio * 100.0, len(kf_ids))
+        return True
+
+    def _apply_pending_pgo_result_if_available(self):
+        """reference apply_pending_pgo_result_if_available
+        (Estimator.cpp:1139-1194)."""
+        with self._result_lock:
+            result, self._pending_result = self._pending_result, None
+        if result is None:
+            return
+        last_id = result.last_optimized_kf_id
+        with self._keyframes_lock:
+            for kf in self.keyframes:
+                if kf.kf_id <= last_id:
+                    opt = result.optimized_poses.get(kf.kf_id)
+                    if opt is not None:
+                        kf.stored_pose = opt.astype(np.float32)
+                else:
+                    break
+        self._propagate_poses_after_pgo(last_id)
+        # Map correction (Estimator.cpp:1181)
+        self.map_state = vm.transform_and_rehash(
+            self.map_state, jnp.asarray(result.last_kf_correction),
+            voxel_size=self.cfg.map_voxel_size,
+            planarity_threshold=self.cfg.surfel_planarity_threshold,
+            hierarchy_factor=self.cfg.derived_hierarchy_factor())
+        self.last_successful_loop_kf_id = last_id
+        # Re-base the live pose estimate onto the corrected world frame so
+        # the next ICP guess matches the rehashed map.
+        with self._keyframes_lock:
+            self.last_keyframe_pose = self.keyframes[-1].stored_pose.copy()
+        C = result.last_kf_correction.astype(np.float32)
+        self.T_current = C @ self.T_current
+        self._prev_pose = C @ self._prev_pose
+
+    def _propagate_poses_after_pgo(self, last_optimized_kf_id: int):
+        """Chain relative poses for keyframes newer than the optimization
+        (reference propagate_poses_after_pgo, Estimator.cpp:1196-1225)."""
+        with self._keyframes_lock:
+            accumulated = None
+            for kf in self.keyframes:
+                if kf.kf_id == last_optimized_kf_id:
+                    accumulated = kf.stored_pose.copy()
+                    continue
+                if accumulated is None:
+                    continue
+                accumulated = accumulated @ kf.relative_pose
+                kf.stored_pose = accumulated.copy()
+
+    # ------------------------------------------------------------------
+    # Outputs
+    # ------------------------------------------------------------------
+
+    def trajectory(self) -> np.ndarray:
+        """(F, 4, 4) per-frame poses, derived dynamically so PGO corrections
+        reach every frame (reference LidarFrame::get_pose chaining)."""
+        out = np.zeros((len(self.frames), 4, 4), np.float32)
+        for i, fr in enumerate(self.frames):
+            if fr.is_keyframe:
+                out[i] = self.keyframes[fr.kf_index].stored_pose
+            elif fr.kf_ref >= 0:
+                out[i] = self.keyframes[fr.kf_ref].stored_pose @ fr.relative_pose
+            else:
+                out[i] = np.eye(4, dtype=np.float32)
+        return out
+
+    def map_points(self) -> np.ndarray:
+        pts, valid = vm.l0_points(self.map_state)
+        return np.asarray(pts)[np.asarray(valid)]
+
+    def accumulated_map(self, voxel_size: Optional[float] = None) -> np.ndarray:
+        """World-frame accumulation of keyframe feature clouds, optionally
+        voxel-downsampled (reference save_map_to_ply, Estimator.cpp:1248-1305)."""
+        clouds = []
+        with self._keyframes_lock:
+            for kf in self.keyframes:
+                pts = kf.feature_cloud[kf.feature_mask]
+                world = pts @ kf.stored_pose[:3, :3].T + kf.stored_pose[:3, 3]
+                clouds.append(world)
+        if not clouds:
+            return np.zeros((0, 3), np.float32)
+        acc = np.concatenate(clouds).astype(np.float32)
+        if voxel_size and voxel_size > 0:
+            keys_i = np.floor(acc / voxel_size).astype(np.int64)
+            _, inv = np.unique(keys_i, axis=0, return_inverse=True)
+            sums = np.zeros((inv.max() + 1, 3))
+            counts = np.zeros(inv.max() + 1)
+            np.add.at(sums, inv, acc)
+            np.add.at(counts, inv, 1)
+            acc = (sums / counts[:, None]).astype(np.float32)
+        return acc
+
+    def shutdown(self):
+        if self._thread is not None:
+            self._thread_running = False
+            with self._query_cv:
+                self._query_cv.notify_all()
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    # ------------------------------------------------------------------
+    # Timing statistics (reference print_timing_statistics,
+    # Estimator.cpp:1307-1355)
+    # ------------------------------------------------------------------
+
+    def _record_timing(self, timing: TimingStats):
+        self.timing_history.append(timing)
+        self.frame_count += 1
+        if self.cfg.enable_console_statistics and self.frame_count % 100 == 0:
+            self.print_timing_statistics()
+
+    def print_timing_statistics(self):
+        if not self.timing_history:
+            return
+        hist = self.timing_history[-100:]
+        def stats(vals):
+            return (sum(vals) / len(vals), min(vals), max(vals))
+        rows = [
+            ("Preprocess", stats([t.preprocessing_ms for t in hist])),
+            ("ICP", stats([t.icp_ms for t in hist])),
+            ("Map Update", stats([t.map_update_ms for t in hist])),
+            ("Total", stats([t.total_ms for t in hist])),
+        ]
+        log.info("=" * 60)
+        log.info("[Timing Stats] Frame {} (last {} frames)", self.frame_count, len(hist))
+        log.info("{:<13s}|   Avg (ms)  |   Min (ms)  |   Max (ms)", "")
+        for name, (avg, mn, mx) in rows:
+            log.info(" {:<12s}| {:>10.2f}  | {:>10.2f}  | {:>10.2f}", name, avg, mn, mx)
+        log.info("=" * 60)

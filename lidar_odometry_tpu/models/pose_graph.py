@@ -1,0 +1,292 @@
+"""Batch Gauss-Newton pose-graph optimizer (reference
+src/optimization/PoseGraphOptimizer.{h,cpp}).
+
+Faithful re-implementation of the reference solver in float64 numpy +
+scipy sparse (the reference runs this on the host background thread in
+double precision; the TPU-distributed Schur-complement variant lives in
+parallel/distributed_pgo.py and shares these factor definitions):
+
+  * GTSAM conventions: [rot, trans] tangent ordering
+    (PoseGraphOptimizer.h:11-23);
+  * BetweenFactor error log(measured^-1 * T_from^-1 * T_to) with
+    J_to = I, J_from = -Ad(hx^-1) (computeBetweenError, :463-498);
+  * PriorFactor error log(measured^-1 * T), J = I (:500-520);
+  * diagonal information from noise sigmas, whitened by sqrt-info
+    (makeInformationMatrix :605-621; here sqrt of a diagonal);
+  * sparse H assembled from triplets, solved with a sparse Cholesky-type
+    factorization, retraction T <- T * Exp(delta), <= 10 iterations,
+    ||dx|| < 1e-6 (optimize, :326-390);
+  * incremental API: add_first_keyframe (tight 1e-4 prior, :173-196),
+    add_keyframe_with_odom (:198-243), add_loop_and_optimize (:245-283).
+"""
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+_EPS = 1e-10  # reference kEpsLie (PoseGraphOptimizer.cpp:31)
+
+
+# ---- SE(3) helpers in GTSAM [rot, trans] ordering (reference :36-162) ----
+
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], dtype=np.float64)
+
+
+def so3_log(R):
+    tr = np.trace(R)
+    theta = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if theta < _EPS:
+        return w / 2.0
+    return w * (theta / (2.0 * np.sin(theta)))
+
+
+def so3_exp(w):
+    theta = np.linalg.norm(w)
+    if theta < _EPS:
+        return np.eye(3) + _skew(w)
+    W = _skew(w / theta)
+    return np.eye(3) + np.sin(theta) * W + (1.0 - np.cos(theta)) * W @ W
+
+
+def se3_log(R, t):
+    """(R, t) -> [w, u] (GTSAM order, reference SE3_Logmap :81-96)."""
+    w = so3_log(R)
+    theta = np.linalg.norm(w)
+    if theta < _EPS:
+        return np.concatenate([w, t])
+    W = _skew(w / theta)
+    tan_half = np.tan(0.5 * theta)
+    Wt = W @ t
+    u = t - (0.5 * theta) * Wt + (1.0 - theta / (2.0 * tan_half)) * (W @ Wt)
+    return np.concatenate([w, u])
+
+
+def se3_exp(xi):
+    """[w, u] -> (R, t) (reference SE3_Expmap :98-118)."""
+    w, u = xi[:3], xi[3:]
+    R = so3_exp(w)
+    theta = np.linalg.norm(w)
+    if theta < _EPS:
+        return R, u.copy()
+    W = _skew(w)
+    t2 = theta * theta
+    V = (np.eye(3) + (1.0 - np.cos(theta)) / t2 * W
+         + (theta - np.sin(theta)) / (t2 * theta) * W @ W)
+    return R, V @ u
+
+
+def adjoint(R, t):
+    """Ad_T for [rot, trans] ordering (reference SE3_AdjointMap :120-130)."""
+    Ad = np.zeros((6, 6))
+    Ad[:3, :3] = R
+    Ad[3:, :3] = _skew(t) @ R
+    Ad[3:, 3:] = R
+    return Ad
+
+
+def make_information(trans_noise, rot_noise):
+    """Diagonal information in GTSAM order [rot x3, trans x3]
+    (reference makeInformationMatrix :605-621)."""
+    info = np.zeros(6)
+    info[:3] = 1.0 / (rot_noise * rot_noise)
+    info[3:] = 1.0 / (trans_noise * trans_noise)
+    return np.diag(info)
+
+
+@dataclass
+class PriorFactor:
+    key: int
+    measured: np.ndarray  # (4,4)
+    sqrt_info: np.ndarray  # (6,6)
+
+
+@dataclass
+class BetweenFactor:
+    key_from: int
+    key_to: int
+    measured: np.ndarray
+    sqrt_info: np.ndarray
+
+
+def between_error(T_from, T_to, measured):
+    """Error + Jacobians of a between factor (reference :463-498)."""
+    R_from, t_from = T_from[:3, :3], T_from[:3, 3]
+    R_to, t_to = T_to[:3, :3], T_to[:3, 3]
+    R_m, t_m = measured[:3, :3], measured[:3, 3]
+    R_hx = R_from.T @ R_to
+    t_hx = R_from.T @ (t_to - t_from)
+    R_err = R_m.T @ R_hx
+    t_err = R_m.T @ (t_hx - t_m)
+    err = se3_log(R_err, t_err)
+    R_hx_inv = R_hx.T
+    t_hx_inv = -R_hx_inv @ t_hx
+    J_from = -adjoint(R_hx_inv, t_hx_inv)
+    J_to = np.eye(6)
+    return err, J_from, J_to
+
+
+def prior_error(T, measured):
+    R, t = T[:3, :3], T[:3, 3]
+    R_m, t_m = measured[:3, :3], measured[:3, 3]
+    err = se3_log(R_m.T @ R, R_m.T @ (t - t_m))
+    return err, np.eye(6)
+
+
+class PoseGraphOptimizer:
+    """Incremental-build, batch-solve pose graph (reference public API at
+    PoseGraphOptimizer.h:91-106). Thread-safe like the reference (a mutex
+    guards the graph; the estimator's background loop thread calls
+    add_loop_and_optimize while the main thread adds odometry)."""
+
+    def __init__(self):
+        self._priors: List[PriorFactor] = []
+        self._betweens: List[BetweenFactor] = []
+        self._poses: Dict[int, np.ndarray] = {}
+        self._keyframe_ids: List[int] = []
+        self._kf_to_index: Dict[int, int] = {}
+        self._lock = threading.Lock()
+        self.loop_closure_count = 0
+        self.odometry_count = 0
+
+    # ---- incremental API ----
+
+    def add_first_keyframe(self, keyframe_id: int, pose: np.ndarray) -> bool:
+        with self._lock:
+            if self._keyframe_ids:
+                return False
+            info = make_information(1e-4, 1e-4)  # tight prior (:184)
+            self._priors.append(PriorFactor(0, pose.astype(np.float64), np.sqrt(info)))
+            self._poses[keyframe_id] = pose.astype(np.float64)
+            self._keyframe_ids.append(keyframe_id)
+            self._kf_to_index[keyframe_id] = 0
+            return True
+
+    def add_keyframe_with_odom(self, prev_id: int, curr_id: int,
+                               curr_pose: np.ndarray, relative_pose: np.ndarray,
+                               trans_noise: float, rot_noise: float) -> bool:
+        with self._lock:
+            if curr_id in self._kf_to_index:
+                return True
+            curr_index = len(self._keyframe_ids)
+            if prev_id in self._kf_to_index:
+                prev_index = self._kf_to_index[prev_id]
+                info = make_information(trans_noise, rot_noise)
+                self._betweens.append(BetweenFactor(
+                    prev_index, curr_index, relative_pose.astype(np.float64),
+                    np.sqrt(info)))
+            else:
+                # loose prior fallback (:226-231)
+                info = make_information(0.5, 0.1)
+                self._priors.append(PriorFactor(
+                    curr_index, curr_pose.astype(np.float64), np.sqrt(info)))
+            self._poses[curr_id] = curr_pose.astype(np.float64)
+            self._keyframe_ids.append(curr_id)
+            self._kf_to_index[curr_id] = curr_index
+            self.odometry_count += 1
+            return True
+
+    def add_loop_and_optimize(self, from_id: int, to_id: int,
+                              relative_pose: np.ndarray,
+                              trans_noise: float, rot_noise: float) -> bool:
+        with self._lock:
+            if from_id not in self._kf_to_index or to_id not in self._kf_to_index:
+                return False
+            info = make_information(trans_noise, rot_noise)
+            self._betweens.append(BetweenFactor(
+                self._kf_to_index[from_id], self._kf_to_index[to_id],
+                relative_pose.astype(np.float64), np.sqrt(info)))
+            self._optimize(max_iterations=10, convergence_threshold=1e-6)
+            self.loop_closure_count += 1
+            return True
+
+    def get_all_optimized_poses(self) -> Dict[int, np.ndarray]:
+        with self._lock:
+            return {k: v.copy() for k, v in self._poses.items()}
+
+    def get_optimized_pose(self, keyframe_id: int):
+        with self._lock:
+            p = self._poses.get(keyframe_id)
+            return None if p is None else p.copy()
+
+    def clear(self):
+        with self._lock:
+            self._priors.clear()
+            self._betweens.clear()
+            self._poses.clear()
+            self._keyframe_ids.clear()
+            self._kf_to_index.clear()
+            self.loop_closure_count = 0
+            self.odometry_count = 0
+
+    # ---- solver (reference optimize :326-390) ----
+
+    def _build_linear_system(self, n_vars):
+        rows, cols, vals = [], [], []
+        b = np.zeros(n_vars * 6)
+
+        def add_block(i, j, B):
+            r, c = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+            rows.append((i * 6 + r).ravel())
+            cols.append((j * 6 + c).ravel())
+            vals.append(B.ravel())
+
+        for prior in self._priors:
+            kf_id = self._keyframe_ids[prior.key]
+            err, J = prior_error(self._poses[kf_id], prior.measured)
+            Jw = prior.sqrt_info @ J
+            ew = prior.sqrt_info @ err
+            add_block(prior.key, prior.key, Jw.T @ Jw)
+            b[prior.key * 6: prior.key * 6 + 6] -= Jw.T @ ew
+
+        for bt in self._betweens:
+            kf_f = self._keyframe_ids[bt.key_from]
+            kf_t = self._keyframe_ids[bt.key_to]
+            err, J_from, J_to = between_error(
+                self._poses[kf_f], self._poses[kf_t], bt.measured)
+            Jw_f = bt.sqrt_info @ J_from
+            Jw_t = bt.sqrt_info @ J_to
+            ew = bt.sqrt_info @ err
+            add_block(bt.key_from, bt.key_from, Jw_f.T @ Jw_f)
+            add_block(bt.key_to, bt.key_to, Jw_t.T @ Jw_t)
+            add_block(bt.key_from, bt.key_to, Jw_f.T @ Jw_t)
+            add_block(bt.key_to, bt.key_from, Jw_t.T @ Jw_f)
+            b[bt.key_from * 6: bt.key_from * 6 + 6] -= Jw_f.T @ ew
+            b[bt.key_to * 6: bt.key_to * 6 + 6] -= Jw_t.T @ ew
+
+        H = sp.csc_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n_vars * 6, n_vars * 6))
+        return H, b
+
+    def _optimize(self, max_iterations=10, convergence_threshold=1e-6) -> bool:
+        n_vars = len(self._keyframe_ids)
+        if n_vars == 0:
+            return True
+        for _ in range(max_iterations):
+            H, b = self._build_linear_system(n_vars)
+            try:
+                dx = spla.spsolve(H, b)
+            except Exception:
+                return False
+            if not np.all(np.isfinite(dx)):
+                return False
+            for i, kf_id in enumerate(self._keyframe_ids):
+                delta = dx[i * 6: i * 6 + 6]  # [rot, trans]
+                T = self._poses[kf_id]
+                dR, dt = se3_exp(delta)
+                R_new = T[:3, :3] @ dR
+                t_new = T[:3, :3] @ dt + T[:3, 3]
+                T_new = np.eye(4)
+                T_new[:3, :3] = R_new
+                T_new[:3, 3] = t_new
+                self._poses[kf_id] = T_new
+            if np.linalg.norm(dx) < convergence_threshold:
+                return True
+        return False

@@ -1,0 +1,277 @@
+"""Point-to-plane ICP with Gauss-Newton on SE(3) — the odometry hot loop,
+as one jitted fixed-shape program (reference
+src/optimization/IterativeClosestPointOptimizer.cpp).
+
+Per ICP iteration (lax.fori_loop over max_iterations, reference :281-449):
+  * correspondences re-found each iteration: either the O(1) surfel gather
+    against the L1 table (find_correspondences, :587-645) or batched 5-NN
+    + masked plane fit over L0 centroids (find_correspondences_kdtree,
+    :647-767);
+  * residual r = n.(R p + t - q), gated at max_correspondence_distance;
+  * iteration-0-only residual normalization scale = std(|r|)/6 (:305-316);
+  * PKO adaptive delta (ops/pko.py) on normalized residuals (:318-332);
+  * robust weights: huber w = min(1, delta/|rn|) or cauchy
+    w = 1/(1+(rn/delta)^2) (:389-404);
+  * normal equations H = sum w J^T J, g = sum w r J^T with
+    J = [n^T R, -n^T R [p]_x] (right perturbation, :376-386) — computed
+    as a = R^T n, J = [a, p x a], reduced with two (N,6) matmuls on the
+    MXU;
+  * solve the 6x6 system, retract T <- T * (Exp(dw), dt) (:418-434 — note
+    the increment translation is NOT passed through the SE(3) V matrix);
+  * converge when |dt| and |dw| drop below tolerance (:443-448).
+
+Failure semantics match the reference: insufficient correspondences abort
+the solve and the caller falls back to the initial guess
+(:298-302, Estimator.cpp:304-307).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+from . import knn, pko, voxel_map as vm
+
+__all__ = ["ICPConfig", "icp_optimize", "icp_optimize_loop"]
+
+
+@flax.struct.dataclass
+class ICPConfig:
+    """Static ICP configuration (reference ICPConfig,
+    IterativeClosestPointOptimizer.h:55-76)."""
+    max_iterations: int = flax.struct.field(pytree_node=False, default=4)
+    translation_tolerance: float = flax.struct.field(pytree_node=False, default=0.005)
+    rotation_tolerance: float = flax.struct.field(pytree_node=False, default=0.005)
+    max_correspondence_distance: float = flax.struct.field(pytree_node=False, default=1.0)
+    min_correspondence_points: int = flax.struct.field(pytree_node=False, default=50)
+    use_robust_loss: bool = flax.struct.field(pytree_node=False, default=True)
+    robust_loss_delta: float = flax.struct.field(pytree_node=False, default=0.1)
+    use_surfel_correspondence: bool = flax.struct.field(pytree_node=False, default=True)
+    loss_type: str = flax.struct.field(pytree_node=False, default="huber")
+    use_adaptive_m_estimator: bool = flax.struct.field(pytree_node=False, default=True)
+    voxel_size: float = flax.struct.field(pytree_node=False, default=0.5)
+    hierarchy_factor: int = flax.struct.field(pytree_node=False, default=3)
+
+
+def _robust_weights(abs_norm_resid, delta, loss_type: str):
+    """In-loop robust weighting (reference :389-404) — distinct from the
+    PKO kernel table; only huber/cauchy exist on this path."""
+    if loss_type == "cauchy":
+        ratio = abs_norm_resid / delta
+        return 1.0 / (1.0 + ratio * ratio)
+    # huber
+    return jnp.where(abs_norm_resid > delta, delta / jnp.maximum(abs_norm_resid, 1e-30), 1.0)
+
+
+def _norm_scale_from(abs_resid, valid):
+    """Iteration-0 residual normalization: population std/6 over the valid
+    residual magnitudes (reference :305-316)."""
+    w = valid.astype(abs_resid.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(abs_resid * w) / n
+    var = jnp.sum(((abs_resid - mean) ** 2) * w) / n
+    return jnp.sqrt(var) / 6.0
+
+
+def _gn_step(T, pts, normals, q_for_resid, valid, norm_resid_abs, delta, cfg: ICPConfig):
+    """One Gauss-Newton update from prepared correspondences.
+    Returns (T_new, dt_norm, dw_norm)."""
+    R, t = lie.se3_rt(T)
+    p_world = pts @ R.T + t[None, :]
+    r = jnp.sum(normals * (p_world - q_for_resid), axis=-1)
+
+    if cfg.use_robust_loss:
+        w = _robust_weights(norm_resid_abs, delta, cfg.loss_type)
+    else:
+        w = jnp.ones_like(r)
+    w = w * valid.astype(r.dtype)
+
+    a = normals @ R                      # a_i = R^T n_i  (row n^T R)
+    J = jnp.concatenate([a, jnp.cross(pts, a)], axis=-1)  # (N, 6)
+    Jw = J * w[:, None]
+    H = J.T @ Jw                         # (6, 6) — MXU reduction
+    g = J.T @ (w * r)
+    # Tiny Tikhonov floor keeps the solve finite when degenerate; the
+    # reference's LDLT silently produces a garbage step there instead.
+    H = H + jnp.eye(6, dtype=H.dtype) * 1e-8
+    delta_x = jnp.linalg.solve(H, -g)
+    dt, dw = delta_x[:3], delta_x[3:]
+    ok = jnp.all(jnp.isfinite(delta_x))
+    dt = jnp.where(ok, dt, 0.0)
+    dw = jnp.where(ok, dw, 0.0)
+    T_new = T @ lie.se3_from_exp_rt(dt, dw)
+    return T_new, jnp.linalg.norm(dt), jnp.linalg.norm(dw)
+
+
+def _surfel_correspondences(map_state, pts, mask, T, cfg: ICPConfig):
+    """O(1) surfel gather (reference find_correspondences, :587-645)."""
+    p_world = lie.transform_points(T, pts)
+    normals, centroids, valid = vm.lookup_surfels(
+        map_state, p_world, voxel_size=cfg.voxel_size,
+        hierarchy_factor=cfg.hierarchy_factor)
+    r_abs = jnp.abs(jnp.sum(normals * (p_world - centroids), axis=-1))
+    valid = valid & mask & (r_abs <= cfg.max_correspondence_distance)
+    return normals, centroids, valid, r_abs
+
+
+def _is_collinear(p0, p1, p2, threshold):
+    """reference is_collinear (:785-792): ||v1 x v2|| < thr on normalized
+    difference vectors."""
+    def unit(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.maximum(n, 1e-12)
+    c = jnp.cross(unit(p1 - p0), unit(p2 - p0))
+    return jnp.linalg.norm(c, axis=-1) < threshold
+
+
+def _plane_correspondences(table: knn.PointTable, pts, mask, T, cfg: ICPConfig,
+                           *, bin_size, radius: int, bucket_width: int,
+                           gate: bool):
+    """5-NN + plane-fit correspondences (reference
+    find_correspondences_kdtree :647-767 / find_correspondences_loop
+    :465-585). Returns (normals, q_resid, q_centroid, valid, plane_dist)."""
+    p_world = lie.transform_points(T, pts)
+    nb, nb_ok, _ = knn.knn_query(table, p_world, bin_size=bin_size, k=5,
+                                 radius=radius, bucket_width=bucket_width)
+    enough = jnp.sum(nb_ok.astype(jnp.int32), axis=-1) >= 5   # :701-703
+    collinear = _is_collinear(nb[:, 0], nb[:, 1], nb[:, 2], 0.5)  # :726 (0.5 hardcoded)
+    from ..utils import eigh3
+    normal, centroid, _ = eigh3.plane_from_points(nb, nb_ok)
+    d = -jnp.sum(normal * centroid, axis=-1)
+    dist = jnp.abs(jnp.sum(normal * p_world, axis=-1) + d)
+    valid = mask & enough & ~collinear
+    if gate:
+        valid = valid & (dist <= cfg.max_correspondence_distance)
+    # Residual target: plane centroid for the map path (:760), nearest
+    # neighbor point for the loop path (:577 uses selected_points[0]).
+    return normal, centroid, nb[:, 0], valid, dist
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
+                 T_init: jax.Array, pko_consts: pko.PKOConstants,
+                 cfg: ICPConfig):
+    """Scan-to-map ICP (reference optimize, :255-463).
+
+    Args: map_state — voxel surfel map; pts (N,3) local feature points with
+    validity mask; T_init — initial world pose guess (4,4).
+    Returns (T_opt, success, n_correspondences).
+    """
+    def body(i, carry):
+        T, done, scale, n_corr, failed = carry
+
+        if cfg.use_surfel_correspondence:
+            normals, q, valid, r_abs = _surfel_correspondences(
+                map_state, pts, mask, T, cfg)
+            q_resid = q
+        else:
+            normals, q_cen, _q_nn, valid, r_abs = _plane_correspondences(
+                _map_table(map_state), pts, mask, T, cfg,
+                bin_size=cfg.voxel_size, radius=1, bucket_width=2, gate=True)
+            q_resid = q_cen
+
+        count = jnp.sum(valid.astype(jnp.int32))
+        insufficient = count < cfg.min_correspondence_points
+
+        new_scale = jnp.where(i == 0, _norm_scale_from(r_abs, valid), scale)
+        norm_resid = r_abs / jnp.maximum(new_scale, 1e-6)
+
+        if cfg.use_adaptive_m_estimator:
+            delta = pko.pko_scale_factor(norm_resid, valid, pko_consts)
+        else:
+            delta = jnp.asarray(cfg.robust_loss_delta, jnp.float32)
+
+        T_new, dt_n, dw_n = _gn_step(T, pts, normals, q_resid, valid,
+                                     norm_resid, delta, cfg)
+        converged = (dt_n < cfg.translation_tolerance) & (dw_n < cfg.rotation_tolerance)
+
+        step_active = ~done & ~insufficient
+        T_out = jnp.where(step_active, T_new, T)
+        done_out = done | insufficient | (step_active & converged)
+        failed_out = failed | (~done & insufficient)
+        n_corr_out = jnp.where(step_active, count, n_corr)
+        return (T_out, done_out, new_scale, n_corr_out, failed_out)
+
+    init = (T_init, jnp.bool_(False), jnp.float32(1.0), jnp.int32(0), jnp.bool_(False))
+    T, done, scale, n_corr, failed = jax.lax.fori_loop(
+        0, cfg.max_iterations, body, init)
+    success = ~failed
+    # On failure the caller must use the initial guess (Estimator.cpp:304-307).
+    T_final = jnp.where(success, T, T_init)
+    return T_final, success, n_corr
+
+
+def _map_table(map_state: vm.VoxelMapState) -> knn.PointTable:
+    """View the L0 table as a PointTable: L0 centroids are already sorted by
+    their own voxel key at map_voxel_size, i.e. exactly the structure
+    knn.knn_query needs (this replaces RebuildKdTree, VoxelMap.cpp:420-438,
+    with a zero-cost view)."""
+    centroid, valid = vm.l0_points(map_state)
+    return knn.PointTable(hi=map_state.l0_hi, lo=map_state.l0_lo,
+                          pts=centroid, valid=valid,
+                          n=map_state.n_l0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_loop_iterations", "search_radius",
+                                  "bucket_width", "bin_scale"))
+def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
+                      T_curr: jax.Array, matched_table: knn.PointTable,
+                      pko_consts: pko.PKOConstants, cfg: ICPConfig,
+                      *, max_loop_iterations: int = 100,
+                      search_radius: int = 2, bucket_width: int = 16,
+                      bin_scale: float = 4.0):
+    """Loop-closure ICP (reference optimize_loop, :40-251): optimize the
+    current keyframe pose against the matched keyframe's world-frame
+    feature cloud; 5-NN + plane fit with NO distance gate; success only on
+    convergence; then a 1-NN < 1 m inlier-ratio validation with an
+    internal >= 0.5 gate.
+
+    `matched_table` must be built with bin_size = cfg.voxel_size*bin_scale
+    (coarser bins + wider radius cover the multi-meter drift typical at
+    loop closure; the reference's KD-tree search is unbounded).
+    Returns (T_relative = T_curr^-1 T_opt, success, inlier_ratio).
+    """
+    bin_size = cfg.voxel_size * bin_scale
+
+    def body(i, carry):
+        T, done, scale, converged_flag = carry
+        normals, _q_cen, q_nn, valid, r_abs = _plane_correspondences(
+            matched_table, curr_pts, curr_mask, T, cfg,
+            bin_size=bin_size, radius=search_radius,
+            bucket_width=bucket_width, gate=False)
+        count = jnp.sum(valid.astype(jnp.int32))
+        insufficient = count < cfg.min_correspondence_points
+
+        new_scale = jnp.where(i == 0, _norm_scale_from(r_abs, valid), scale)
+        norm_resid = r_abs / jnp.maximum(new_scale, 1e-6)
+        if cfg.use_adaptive_m_estimator:
+            delta = pko.pko_scale_factor(norm_resid, valid, pko_consts)
+        else:
+            delta = jnp.asarray(cfg.robust_loss_delta, jnp.float32)
+
+        # GN residual target = nearest neighbor point (reference :577, :120-146).
+        T_new, dt_n, dw_n = _gn_step(T, curr_pts, normals, q_nn, valid,
+                                     norm_resid, delta, cfg)
+        conv = (dt_n < cfg.translation_tolerance) & (dw_n < cfg.rotation_tolerance)
+        step_active = ~done & ~insufficient
+        T_out = jnp.where(step_active, T_new, T)
+        done_out = done | insufficient | (step_active & conv)
+        converged_out = converged_flag | (step_active & conv)
+        return (T_out, done_out, new_scale, converged_out)
+
+    init = (T_curr, jnp.bool_(False), jnp.float32(1.0), jnp.bool_(False))
+    T_opt, _, _, converged = jax.lax.fori_loop(0, max_loop_iterations, body, init)
+
+    # Inlier-ratio validation (reference :213-248).
+    p_world = lie.transform_points(T_opt, curr_pts)
+    d1 = knn.nn1_distance(matched_table, p_world, bin_size=bin_size,
+                          radius=search_radius, bucket_width=bucket_width)
+    w = curr_mask.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(w), 1.0)
+    inlier_ratio = jnp.sum(((d1 < 1.0) & curr_mask).astype(jnp.float32)) / total
+    success = converged & (inlier_ratio >= 0.5)
+    T_rel = lie.se3_inv(T_curr) @ T_opt
+    return T_rel, success, inlier_ratio

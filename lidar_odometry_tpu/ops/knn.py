@@ -1,0 +1,105 @@
+"""Batched k-nearest-neighbor search over voxel-binned point tables — the
+TPU replacement for nanoflann KD-trees (reference
+src/util/PointCloudUtils.h:370-457 and the KDTree correspondence path,
+IterativeClosestPointOptimizer.cpp:647-767).
+
+Trees do not map to TPUs; instead points are bucketed into voxels of a
+known bin size, sorted by packed voxel key, and each query gathers
+candidates from the 3x3x3 (or (2r+1)^3) neighborhood of its own voxel via
+binary search + fixed-width bucket windows, then selects the k nearest by
+top-k. For clouds that were voxel-downsampled at the same bin size
+(the feature clouds and the L0 centroid map), buckets hold O(1) points and
+this recovers the true k-NN for all neighbors within the search radius.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import keys as K
+
+__all__ = ["PointTable", "build_point_table", "knn_query", "nn1_distance"]
+
+
+class PointTable(NamedTuple):
+    hi: jax.Array      # (C,) uint32 — voxel key of each point, sorted
+    lo: jax.Array      # (C,) uint32
+    pts: jax.Array     # (C, 3) f32 — points, permuted into key order
+    valid: jax.Array   # (C,) bool
+    n: jax.Array       # () i32
+
+
+@partial(jax.jit, static_argnames=())
+def build_point_table(points: jax.Array, mask: jax.Array, *, bin_size) -> PointTable:
+    c = points.shape[0]
+    inv = 1.0 / bin_size
+    coords = K.voxel_coords(points, inv)
+    hi, lo = K.pack_key(coords)
+    hi = jnp.where(mask, hi, K.INVALID_HI)
+    lo = jnp.where(mask, lo, K.INVALID_LO)
+    hi_s, lo_s, idx = K.sort_by_key(hi, lo, jnp.arange(c, dtype=jnp.int32))
+    pts_s = points[idx]
+    valid_s = ~K.key_eq(hi_s, lo_s, K.INVALID_HI, K.INVALID_LO)
+    return PointTable(hi=hi_s, lo=lo_s, pts=pts_s, valid=valid_s,
+                      n=jnp.sum(valid_s.astype(jnp.int32)))
+
+
+def _neighbor_offsets(radius: int) -> np.ndarray:
+    r = np.arange(-radius, radius + 1)
+    return np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("k", "radius", "bucket_width"))
+def knn_query(table: PointTable, queries: jax.Array, *, bin_size, k: int = 5,
+              radius: int = 1, bucket_width: int = 3):
+    """For each query point return its k nearest candidates from the
+    (2*radius+1)^3 voxel neighborhood.
+
+    Returns (neighbors (N, k, 3), neighbor_valid (N, k), dists (N, k)).
+    Candidates per neighbor voxel are capped at `bucket_width` consecutive
+    sorted entries — exact when the table was built from a cloud
+    voxel-filtered at >= bin_size (<= 1 point/voxel), approximate otherwise.
+    """
+    n = queries.shape[0]
+    c = table.hi.shape[0]
+    inv = 1.0 / bin_size
+    qc = K.voxel_coords(queries, inv)
+    offs = jnp.asarray(_neighbor_offsets(radius), dtype=jnp.int32)  # (M, 3)
+    m = offs.shape[0]
+    nb = qc[:, None, :] + offs[None, :, :]               # (N, M, 3)
+    nhi, nlo = K.pack_key(nb)
+    start = K.searchsorted2(table.hi, table.lo, nhi.reshape(-1), nlo.reshape(-1))
+    start = start.reshape(n, m)
+
+    # Gather bucket_width consecutive entries per neighbor voxel.
+    w = jnp.arange(bucket_width, dtype=jnp.int32)
+    gidx = jnp.minimum(start[:, :, None] + w[None, None, :], c - 1)  # (N, M, W)
+    ghi = table.hi[gidx]
+    glo = table.lo[gidx]
+    cand_ok = K.key_eq(ghi, glo, nhi[..., None], nlo[..., None]) & table.valid[gidx]
+    cand_pts = table.pts[gidx]                            # (N, M, W, 3)
+
+    cand_pts = cand_pts.reshape(n, m * bucket_width, 3)
+    cand_ok = cand_ok.reshape(n, m * bucket_width)
+    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-d2, k)
+    nb_pts = jnp.take_along_axis(cand_pts, top_idx[..., None], axis=1)
+    nb_ok = jnp.take_along_axis(cand_ok, top_idx, axis=1)
+    dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    return nb_pts, nb_ok, jnp.where(nb_ok, dists, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("radius", "bucket_width"))
+def nn1_distance(table: PointTable, queries: jax.Array, *, bin_size,
+                 radius: int = 2, bucket_width: int = 3):
+    """1-NN distance per query (used by the loop-closure inlier check,
+    reference IterativeClosestPointOptimizer.cpp:213-248). Queries with no
+    candidate in the neighborhood get +inf."""
+    _, ok, d = knn_query(table, queries, bin_size=bin_size, k=1,
+                         radius=radius, bucket_width=bucket_width)
+    return jnp.where(ok[:, 0], d[:, 0], jnp.inf)

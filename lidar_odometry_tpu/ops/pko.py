@@ -1,0 +1,230 @@
+"""PKO — Probabilistic Kernel Optimization adaptive M-estimator, as a
+fixed-shape jnp program (reference src/optimization/AdaptiveMEstimator.cpp,
+RA-L'25 DOI 10.1109/LRA.2025.3536294).
+
+Per ICP iteration the robust-kernel scale alpha* is chosen to minimize the
+Jensen-Shannon divergence between the empirical residual distribution
+(a 1-D GMM fitted by K-means + EM on a fixed-size subsample) and the
+normalized kernel distribution Q(r) = k(r, alpha) / Z(alpha):
+  * log-spaced alpha grid (100^t - 1)/99 over [min, max] with partition
+    functions Z(alpha) precomputed by 0.01-step rectangle integration
+    (reference AdaptiveMEstimator.cpp:218-241, :692-708) — both grids are
+    baked as constants at trace time (numpy);
+  * GMM: fixed-size subsample (reference uses a seed-42 mt19937 shuffle,
+    AdaptiveMEstimator.cpp:322 — reproduced with a fixed JAX PRNG key;
+    determinism preserved, exact index sequence not), K-means with
+    component 0 pinned to mean 0, EM <= 100 iterations with convergence
+    mask (fit_gmm, :294-485);
+  * JS on a 100-point grid r_i = dr*(1+i) (calculate_js_divergence,
+    :710-787); argmin over alpha candidates 1..N (index 0 skipped as in
+    :259).
+
+Everything is static-shape (k components, n samples, alpha and r grids),
+so the whole scale selection jits into the ICP loop.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["PKOConstants", "make_pko_constants", "pko_scale_factor",
+           "kernel_weight"]
+
+
+def _kernel_weight_np(r, delta, kernel_type):
+    r = np.abs(r)
+    if kernel_type == "huber":
+        return np.where(r <= delta, 1.0, delta / np.maximum(r, 1e-30))
+    if kernel_type == "cauchy":
+        return delta**2 / (delta**2 + r**2)
+    if kernel_type == "tukey":
+        x = r / delta
+        return np.where(x < 1.0, (1 - x**2) ** 2, 0.0)
+    if kernel_type == "welsch":
+        return np.exp(-(r**2) / (delta**2) / 2.0)
+    if kernel_type == "gemanMcClure":
+        return r * delta**2 / (delta**2 + r**2) ** 2
+    if kernel_type == "pseudoHuber":
+        return delta**2 / (delta**2 + r**2) ** 1.5
+    return delta**2 / (delta**2 + r**2)  # default: cauchy
+
+
+def kernel_weight(r, delta, kernel_type: str):
+    """Robust kernel weights (reference pko_kernel_weight,
+    AdaptiveMEstimator.cpp:128-156), jnp version."""
+    r = jnp.abs(r)
+    if kernel_type == "huber":
+        return jnp.where(r <= delta, 1.0, delta / jnp.maximum(r, 1e-30))
+    if kernel_type == "cauchy":
+        return delta**2 / (delta**2 + r**2)
+    if kernel_type == "tukey":
+        x = r / delta
+        return jnp.where(x < 1.0, (1 - x**2) ** 2, 0.0)
+    if kernel_type == "welsch":
+        return jnp.exp(-(r**2) / (delta**2) / 2.0)
+    if kernel_type == "gemanMcClure":
+        return r * delta**2 / (delta**2 + r**2) ** 2
+    if kernel_type == "pseudoHuber":
+        return delta**2 / (delta**2 + r**2) ** 1.5
+    return delta**2 / (delta**2 + r**2)
+
+
+@flax.struct.dataclass
+class PKOConstants:
+    alphas: jax.Array          # (A,) candidate scales (index 0 = min, skipped)
+    Z: jax.Array               # (A,) partition functions
+    r_grid: jax.Array          # (G,) discretized residual grid
+    Q: jax.Array               # (A, G) normalized kernel distribution + eps
+    kernel_type: str = flax.struct.field(pytree_node=False)
+    gmm_components: int = flax.struct.field(pytree_node=False)
+    gmm_sample_size: int = flax.struct.field(pytree_node=False)
+
+
+def make_pko_constants(min_scale: float, max_scale: float, num_segments: int,
+                       truncated_threshold: float, kernel_type: str,
+                       gmm_components: int, gmm_sample_size: int) -> PKOConstants:
+    """Precompute alpha grid, Z(alpha), and Q(r|alpha) in float64 numpy
+    (done once at config time; mirrors initialize_pko,
+    AdaptiveMEstimator.cpp:218-241)."""
+    alphas = np.empty(num_segments + 1)
+    alphas[0] = min_scale
+    t = np.arange(1, num_segments + 1) / num_segments
+    alphas[1:] = min_scale + (max_scale - min_scale) * (np.power(100.0, t) - 1.0) / 99.0
+
+    # Z(alpha): rectangle rule, x = 0, 0.01, ..., <= threshold
+    # (calculate_partition_function_integration, :692-708).
+    xs = np.arange(0.0, truncated_threshold + 1e-9, 0.01)
+    kv = _kernel_weight_np(xs[None, :], alphas[:, None], kernel_type)
+    Z = np.maximum(kv.sum(axis=1) * 0.01, 1e-10)
+
+    # JS residual grid r_i = dr * (1 + i), i = 0..99 (:714-720).
+    g = 100
+    dr = truncated_threshold / g
+    r_grid = dr * (1.0 + np.arange(g))
+    q = _kernel_weight_np(r_grid[None, :], alphas[:, None], kernel_type)
+    Q = q / (Z[:, None] + 1e-10) + 1e-10
+
+    return PKOConstants(
+        alphas=jnp.asarray(alphas, jnp.float32),
+        Z=jnp.asarray(Z, jnp.float32),
+        r_grid=jnp.asarray(r_grid, jnp.float32),
+        Q=jnp.asarray(Q, jnp.float32),
+        kernel_type=kernel_type,
+        gmm_components=gmm_components,
+        gmm_sample_size=gmm_sample_size,
+    )
+
+
+def _gaussian_pdf(x, mean, var):
+    var = jnp.maximum(var, 1e-12)
+    d = x - mean
+    return jnp.exp(-0.5 * d * d / var) / jnp.sqrt(2.0 * jnp.pi * var)
+
+
+def _fit_gmm(samples: jax.Array, n_components: int, key: jax.Array):
+    """1-D GMM by K-means init (component 0 pinned at mean 0) + EM
+    (reference fit_gmm, AdaptiveMEstimator.cpp:294-485). `samples` is a
+    fixed-size vector (the subsample). Returns (weights, means, variances).
+    """
+    n = samples.shape[0]
+    kk = n_components
+
+    # K-means init: mean[0] = 0, others = random picks (:339-345).
+    pick_idx = jax.random.randint(key, (kk,), 0, n)
+    means0 = samples[pick_idx].at[0].set(0.0)
+
+    def kmeans_body(state):
+        means, _, it = state
+        d = jnp.abs(samples[:, None] - means[None, :])        # (n, k)
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, kk, dtype=samples.dtype)
+        cnt = one_hot.sum(axis=0)
+        new_means = (one_hot * samples[:, None]).sum(axis=0) / jnp.maximum(cnt, 1.0)
+        new_means = jnp.where(cnt > 0, new_means, means)
+        new_means = new_means.at[0].set(0.0)                   # pinned (:373-380)
+        changed = jnp.any(new_means != means)
+        return new_means, changed, it + 1
+
+    def kmeans_cond(state):
+        _, changed, it = state
+        return changed & (it < 100)
+
+    means, _, _ = jax.lax.while_loop(
+        kmeans_cond, kmeans_body, (means0, jnp.bool_(True), jnp.int32(0)))
+
+    # Initial variance: data variance for every component (:391-399).
+    data_mean = samples.mean()
+    init_var = jnp.mean((samples - data_mean) ** 2)
+    variances = jnp.full((kk,), init_var)
+
+    # Initial weights proportional to cluster sizes (:401-410).
+    d = jnp.abs(samples[:, None] - means[None, :])
+    assign = jnp.argmin(d, axis=1)
+    cnt = jax.nn.one_hot(assign, kk, dtype=samples.dtype).sum(axis=0)
+    weights = cnt / n
+
+    # EM, <= 100 iterations, convergence on sum |d mean| of comps 1..k-1
+    # (:412-484).
+    def em_body(state):
+        w, mu, var, _, it = state
+        resp = w[None, :] * _gaussian_pdf(samples[:, None], mu[None, :], var[None, :])
+        resp = resp / jnp.maximum(resp.sum(axis=1, keepdims=True), 1e-300)
+        Nk = jnp.maximum(resp.sum(axis=0), 1e-12)
+        new_w = Nk / n
+        new_mu = (resp * samples[:, None]).sum(axis=0) / Nk
+        new_mu = new_mu.at[0].set(0.0)
+        diff = samples[:, None] - new_mu[None, :]
+        new_var = (resp * diff * diff).sum(axis=0) / Nk
+        new_var = jnp.maximum(new_var, 1e-6)
+        change = jnp.sum(jnp.abs(new_mu[1:] - mu[1:]))
+        return new_w, new_mu, new_var, change, it + 1
+
+    def em_cond(state):
+        _, _, _, change, it = state
+        return (change >= 1e-6) & (it < 100)
+
+    weights, means, variances, _, _ = jax.lax.while_loop(
+        em_cond, em_body, (weights, means, variances, jnp.float32(jnp.inf), jnp.int32(0)))
+    return weights, means, variances
+
+
+@jax.jit
+def pko_scale_factor(residuals: jax.Array, valid: jax.Array,
+                     consts: PKOConstants) -> jax.Array:
+    """Select alpha* minimizing the averaged JS divergence
+    (reference calculate_pko_scale_factor, AdaptiveMEstimator.cpp:243-291).
+
+    `residuals` are the normalized |r|/scale values; `valid` masks padding.
+    """
+    n = residuals.shape[0]
+    key = jax.random.PRNGKey(42)  # deterministic, mirroring the fixed seed
+    # Uniform sample without replacement from the valid entries.
+    noise = jax.random.uniform(key, (n,))
+    score = jnp.where(valid, noise, 2.0)  # invalid entries sort last
+    order = jnp.argsort(score)
+    take = order[:consts.gmm_sample_size]
+    samples = residuals[take]
+    # If fewer valid than sample_size, reuse of invalid-slot values is
+    # prevented by clamping to a valid entry.
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    first_valid = order[0]
+    ok = jnp.arange(consts.gmm_sample_size) < n_valid
+    samples = jnp.where(ok, samples, residuals[first_valid])
+
+    w, mu, var = _fit_gmm(samples, consts.gmm_components, key)
+
+    # P(r) on the grid via the GMM (+1e-10, :747-756).
+    r = consts.r_grid                                   # (G,)
+    P = (w[None, :] * _gaussian_pdf(r[:, None], mu[None, :], var[None, :])).sum(axis=1)
+    P = P + 1e-10
+
+    Q = consts.Q                                        # (A, G)
+    M = 0.5 * (P[None, :] + Q)
+    jsd = 0.5 * (P[None, :] * jnp.log(P[None, :] / M) + Q * jnp.log(Q / M))
+    cost = jnp.mean(jsd, axis=1)                        # NaNs impossible: P,Q>0
+    # Skip candidate 0 (reference loops i=1.., :259).
+    cost = cost.at[0].set(jnp.inf)
+    best = jnp.argmin(cost)
+    return consts.alphas[best]

@@ -1,0 +1,148 @@
+"""ICP engine tests: pose recovery on synthetic structured worlds
+(reference IterativeClosestPointOptimizer.cpp semantics)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_odometry_tpu.config import SystemConfig
+from lidar_odometry_tpu.ops import icp, knn, pko, voxel_map as vm
+from lidar_odometry_tpu.io import synthetic
+from lidar_odometry_tpu.utils import lie
+
+C0, C1 = 32768, 8192
+VOX = 0.5
+
+
+def _cfg(**kw):
+    base = dict(max_iterations=8, use_adaptive_m_estimator=False,
+                voxel_size=VOX)
+    base.update(kw)
+    return icp.ICPConfig(**base)
+
+
+def _pko():
+    return pko.make_pko_constants(0.1, 10.0, 100, 10.0, "huber", 3, 100)
+
+
+def _build_world_map(seed=0):
+    world = synthetic.make_world(seed=seed, extent=60.0, n_buildings=12)
+    rng = np.random.default_rng(seed)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 1.8
+    state = vm.empty_map(C0, C1)
+    # accumulate several scans so L1 cells reach >= 5 occupied children
+    for dx in (-0.3, 0.0, 0.3):
+        p = pose.copy()
+        p[0, 3] += dx
+        scan = synthetic.sample_scan(world, p, 25000, rng, max_range=50.0, noise=0.005)
+        world_pts = scan @ p[:3, :3].T + p[:3, 3]
+        state = vm.update_map(state, jnp.asarray(world_pts),
+                              jnp.ones(len(world_pts), bool),
+                              jnp.asarray(p[:3, 3]), 120.0,
+                              voxel_size=VOX, planarity_threshold=0.1)
+    return world, state, pose, rng
+
+
+def _perturbed(pose, dx=0.3, dyaw=0.02):
+    T = pose.copy()
+    c, s = np.cos(dyaw), np.sin(dyaw)
+    Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    T[:3, :3] = T[:3, :3] @ Rz
+    T[0, 3] += dx
+    return T
+
+
+@pytest.mark.parametrize("surfel", [True, False])
+def test_icp_recovers_pose(surfel):
+    world, state, pose, rng = _build_world_map()
+    # New scan from a slightly moved true pose
+    true_pose = pose.copy()
+    true_pose[0, 3] += 0.4
+    scan = synthetic.sample_scan(world, true_pose, 8000, rng,
+                                 max_range=50.0, noise=0.005)
+    n = 8192
+    pts = np.zeros((n, 3), np.float32)
+    pts[: len(scan)] = scan[:n]
+    mask = np.zeros(n, bool)
+    mask[: min(len(scan), n)] = True
+
+    guess = jnp.asarray(_perturbed(true_pose, dx=0.25, dyaw=0.015))
+    cfg = _cfg(use_surfel_correspondence=surfel)
+    T_opt, success, n_corr = icp.icp_optimize(
+        state, jnp.asarray(pts), jnp.asarray(mask), guess, _pko(), cfg)
+    assert bool(success)
+    assert int(n_corr) > 300
+    T_opt = np.asarray(T_opt)
+    t_err = np.linalg.norm(T_opt[:3, 3] - true_pose[:3, 3])
+    r_err = np.arccos(np.clip((np.trace(T_opt[:3, :3].T @ true_pose[:3, :3]) - 1) / 2, -1, 1))
+    assert t_err < 0.06, t_err
+    assert r_err < 0.01, r_err
+
+
+def test_icp_insufficient_correspondences_returns_guess():
+    state = vm.empty_map(1024, 256)  # empty map
+    pts = jnp.asarray(np.random.default_rng(0).standard_normal((256, 3)).astype(np.float32))
+    mask = jnp.ones(256, bool)
+    guess = jnp.asarray(np.eye(4, dtype=np.float32))
+    T_opt, success, _ = icp.icp_optimize(state, pts, mask, guess, _pko(), _cfg())
+    assert not bool(success)
+    np.testing.assert_allclose(np.asarray(T_opt), np.eye(4), atol=1e-6)
+
+
+def test_icp_with_pko_adaptive():
+    world, state, pose, rng = _build_world_map(seed=1)
+    true_pose = pose.copy()
+    true_pose[0, 3] += 0.3
+    scan = synthetic.sample_scan(world, true_pose, 6000, rng,
+                                 max_range=50.0, noise=0.01)
+    # inject 10% outliers
+    n_out = len(scan) // 10
+    scan[:n_out] += rng.standard_normal((n_out, 3)).astype(np.float32) * 3.0
+    n = 8192
+    pts = np.zeros((n, 3), np.float32)
+    pts[: len(scan)] = scan[:n]
+    mask = np.zeros(n, bool)
+    mask[: min(len(scan), n)] = True
+    cfg = _cfg(use_adaptive_m_estimator=True)
+    T_opt, success, _ = icp.icp_optimize(
+        state, jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(_perturbed(true_pose, dx=0.2, dyaw=0.01)), _pko(), cfg)
+    assert bool(success)
+    t_err = np.linalg.norm(np.asarray(T_opt)[:3, 3] - true_pose[:3, 3])
+    assert t_err < 0.1, t_err
+
+
+def test_loop_icp_recovers_large_offset():
+    world, state, pose, rng = _build_world_map(seed=2)
+    # "matched" keyframe cloud at identity-ish pose
+    matched_pose = pose
+    matched_scan = synthetic.sample_scan(world, matched_pose, 12000, rng,
+                                         max_range=50.0, noise=0.005)
+    matched_world = matched_scan @ matched_pose[:3, :3].T + matched_pose[:3, 3]
+    table = knn.build_point_table(
+        jnp.asarray(matched_world), jnp.ones(len(matched_world), bool),
+        bin_size=VOX * 4.0)
+
+    # current keyframe truly at the same place, but drifted estimate 2 m off
+    true_pose = pose.copy()
+    true_pose[0, 3] += 1.0
+    curr_scan = synthetic.sample_scan(world, true_pose, 8000, rng,
+                                      max_range=50.0, noise=0.005)
+    n = 8192
+    pts = np.zeros((n, 3), np.float32)
+    pts[: len(curr_scan)] = curr_scan[:n]
+    mask = np.zeros(n, bool)
+    mask[: min(len(curr_scan), n)] = True
+    drifted = true_pose.copy()
+    drifted[0, 3] += 1.5
+    drifted[1, 3] += 0.8
+
+    cfg = _cfg(use_adaptive_m_estimator=False, max_iterations=4)
+    T_rel, success, inlier_ratio = icp.icp_optimize_loop(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(drifted), table,
+        _pko(), cfg, max_loop_iterations=60)
+    assert bool(success), float(inlier_ratio)
+    T_corrected = np.asarray(jnp.asarray(drifted) @ T_rel)
+    t_err = np.linalg.norm(T_corrected[:3, 3] - true_pose[:3, 3])
+    assert t_err < 0.15, t_err
+    assert float(inlier_ratio) > 0.5

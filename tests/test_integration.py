@@ -1,0 +1,60 @@
+"""End-to-end odometry on a synthetic structured world: golden-trajectory
+style integration test (SURVEY.md §4 test strategy)."""
+import numpy as np
+import pytest
+
+from lidar_odometry_tpu.config import SystemConfig
+from lidar_odometry_tpu.eval import ate_rmse
+from lidar_odometry_tpu.io import synthetic
+from lidar_odometry_tpu.models.estimator import Estimator
+
+
+def _small_cfg(**kw):
+    cfg = SystemConfig(
+        scan_capacity=8192,
+        map_l0_capacity=65536,
+        map_l1_capacity=16384,
+        keyframe_capacity=256,
+        point_stride=1,
+        enable_loop_detection=False,
+        enable_console_statistics=False,
+    )
+    return cfg.replace(**kw)
+
+
+@pytest.mark.slow
+def test_straight_line_odometry():
+    cfg = _small_cfg()
+    world = synthetic.make_world(seed=3, extent=60.0, n_buildings=14)
+    poses = synthetic.straight_trajectory(30, step=0.4)
+    rng = np.random.default_rng(3)
+
+    est = Estimator(cfg, sync_loop=True)
+    for i in range(len(poses)):
+        scan = synthetic.sample_scan(world, poses[i], 15000, rng,
+                                     max_range=50.0, noise=0.01)
+        assert est.process_frame(scan)
+
+    traj = est.trajectory()
+    assert len(traj) == len(poses)
+    err = ate_rmse(traj, poses)
+    assert err < 0.15, err
+    # keyframes roughly every keyframe_distance_threshold meters
+    assert 8 <= len(est.keyframes) <= 16
+    est.shutdown()
+
+
+@pytest.mark.slow
+def test_kdtree_mode_odometry():
+    cfg = _small_cfg(use_surfel_correspondence=False)
+    world = synthetic.make_world(seed=4, extent=60.0, n_buildings=14)
+    poses = synthetic.straight_trajectory(15, step=0.4)
+    rng = np.random.default_rng(4)
+    est = Estimator(cfg, sync_loop=True)
+    for i in range(len(poses)):
+        scan = synthetic.sample_scan(world, poses[i], 12000, rng,
+                                     max_range=50.0, noise=0.01)
+        assert est.process_frame(scan)
+    err = ate_rmse(est.trajectory(), poses)
+    assert err < 0.2, err
+    est.shutdown()

@@ -1,0 +1,99 @@
+"""Pose-graph optimizer tests (reference PoseGraphOptimizer.cpp)."""
+import numpy as np
+
+from lidar_odometry_tpu.models import pose_graph as pg
+
+
+def _pose(x=0.0, y=0.0, z=0.0, yaw=0.0):
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def test_se3_exp_log_roundtrip_gtsam_order():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        xi = rng.standard_normal(6)
+        R, t = pg.se3_exp(xi)
+        xi2 = pg.se3_log(R, t)
+        np.testing.assert_allclose(xi2, xi, atol=1e-9)
+
+
+def test_between_error_zero_when_consistent():
+    T0 = _pose(0, 0, 0, 0.0)
+    T1 = _pose(1, 0, 0, 0.1)
+    measured = np.linalg.inv(T0) @ T1
+    err, _, _ = pg.between_error(T0, T1, measured)
+    np.testing.assert_allclose(err, 0, atol=1e-12)
+
+
+def test_between_jacobian_matches_numeric():
+    # The reference uses first-order Jacobians J_to = I, J_from = -Ad(hx^-1)
+    # (PoseGraphOptimizer.cpp:487-495), which are exact only at zero error
+    # (they omit the Logmap derivative); validate numerically there.
+    rng = np.random.default_rng(1)
+    T0 = _pose(*rng.standard_normal(3), yaw=0.3)
+    T1 = _pose(*rng.standard_normal(3), yaw=-0.2)
+    measured = np.linalg.inv(T0) @ T1  # zero-error configuration
+    err0, J_from, J_to = pg.between_error(T0, T1, measured)
+    eps = 1e-7
+
+    def retract(T, delta):
+        dR, dt = pg.se3_exp(delta)
+        out = np.eye(4)
+        out[:3, :3] = T[:3, :3] @ dR
+        out[:3, 3] = T[:3, :3] @ dt + T[:3, 3]
+        return out
+
+    for J, which in ((J_from, 0), (J_to, 1)):
+        num = np.zeros((6, 6))
+        for k in range(6):
+            d = np.zeros(6)
+            d[k] = eps
+            Ta = retract(T0, d) if which == 0 else T0
+            Tb = retract(T1, d) if which == 1 else T1
+            errk, _, _ = pg.between_error(Ta, Tb, measured)
+            num[:, k] = (errk - err0) / eps
+        np.testing.assert_allclose(J, num, atol=1e-5)
+
+
+def test_loop_closure_corrects_drift():
+    # Chain of 10 keyframes around a square with drift; loop factor pulls
+    # the last keyframe back onto the first.
+    opt = pg.PoseGraphOptimizer()
+    true_poses = [_pose(x=float(i)) for i in range(10)]
+    drift = 0.05
+    odom_meas = []
+    cur = np.eye(4)
+    noisy_poses = [cur.copy()]
+    for i in range(1, 10):
+        rel_true = np.linalg.inv(true_poses[i - 1]) @ true_poses[i]
+        rel_noisy = rel_true.copy()
+        rel_noisy[1, 3] += drift  # consistent lateral drift
+        odom_meas.append(rel_noisy)
+        cur = cur @ rel_noisy
+        noisy_poses.append(cur.copy())
+
+    opt.add_first_keyframe(0, noisy_poses[0])
+    for i in range(1, 10):
+        opt.add_keyframe_with_odom(i - 1, i, noisy_poses[i], odom_meas[i - 1], 1.0, 1.0)
+
+    # Loop: keyframe 9 observed at its TRUE relative pose from keyframe 0.
+    rel_loop = np.linalg.inv(true_poses[0]) @ true_poses[9]
+    assert opt.add_loop_and_optimize(0, 9, rel_loop, 1.0, 1.0)
+
+    got = opt.get_all_optimized_poses()
+    err_before = np.linalg.norm(noisy_poses[9][:3, 3] - true_poses[9][:3, 3])
+    err_after = np.linalg.norm(got[9][:3, 3] - true_poses[9][:3, 3])
+    assert err_after < err_before * 0.2, (err_before, err_after)
+
+
+def test_first_keyframe_prior_pins_origin():
+    opt = pg.PoseGraphOptimizer()
+    opt.add_first_keyframe(0, _pose(0, 0, 0))
+    opt.add_keyframe_with_odom(0, 1, _pose(1, 0, 0), _pose(1, 0, 0), 1.0, 1.0)
+    opt.add_loop_and_optimize(0, 1, _pose(1, 0, 0), 1.0, 1.0)
+    got = opt.get_all_optimized_poses()
+    np.testing.assert_allclose(got[0][:3, 3], 0, atol=1e-6)
