@@ -19,3 +19,11 @@ Layout (mirrors the reference layer map, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls default to bfloat16 operand precision; geometry (point
+# transforms, 6x6 Gauss-Newton products) loses ~0.4 m at 100 m range that
+# way. This framework's matmul volume is tiny (6-dim contractions), so
+# full float32 costs nothing measurable — force it globally.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -159,10 +159,12 @@ def _eliminate_interior(Dint, off_int, bint, Lsep, L_left, U_right, valid):
 
     # Schur contributions: eliminate interior from the separator equations.
     # Separator-left equation gains -L_left^T x_first; right gains
-    # -U_right^T x_last.
+    # -U_right^T x_last. x_first lives at the FIRST VALID row (blocks are
+    # front-padded), x_last at the last row.
     Lt = jnp.swapaxes(L_left, -1, -2)
     Ut = jnp.swapaxes(U_right, -1, -2)
-    F0, G0, g0 = F[0], G[0], g[0]
+    first = jnp.argmax(valid)  # index of first True (0 if none; masked below)
+    F0, G0, g0 = F[first], G[first], g[first]
     Fm, Gm, gm = F[-1], G[-1], g[-1]
     z6 = jnp.zeros((6, 6), Dint.dtype)
     S_ll = jnp.where(any_valid, -Lt @ F0, z6)
