@@ -86,15 +86,25 @@ def loop_trajectory(n_frames: int, radius: float = 40.0, height: float = 1.8,
 
 def sample_scan(world: List[Rect], pose: np.ndarray, n_points: int,
                 rng: np.random.Generator, max_range: float = 60.0,
-                noise: float = 0.01) -> np.ndarray:
+                noise: float = 0.01, wall_boost: float = 4.0) -> np.ndarray:
     """Sample a sensor-frame scan: world-surface points within max_range of
-    the sensor, area-weighted across surfaces, with Gaussian noise."""
+    the sensor, area-weighted across surfaces, with Gaussian noise.
+
+    `wall_boost` over-weights vertical surfaces: a spinning LiDAR
+    concentrates beams near the horizon, so walls are sampled far more
+    densely than the ground per unit area — without it, surfel maps lack
+    the vertical constraints that make x/y/yaw observable.
+    """
     sensor = pose[:3, 3]
     areas = np.array([r.area for r in world])
     # bias sampling toward surfaces near the sensor
     centers = np.stack([r.origin + 0.5 * (r.u + r.v) for r in world])
     d = np.linalg.norm(centers - sensor[None, :], axis=-1)
+    normals_z = np.array([abs(np.cross(r.u, r.v)[2]) / max(r.area, 1e-9)
+                          for r in world])
+    vertical = normals_z < 0.5
     weights = areas / np.maximum(d, 5.0) ** 2
+    weights = np.where(vertical, weights * wall_boost, weights)
     weights /= weights.sum()
 
     pts = np.zeros((0, 3), np.float32)

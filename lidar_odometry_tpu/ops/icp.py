@@ -127,15 +127,15 @@ def _is_collinear(p0, p1, p2, threshold):
     return jnp.linalg.norm(c, axis=-1) < threshold
 
 
-def _plane_correspondences(table: knn.PointTable, pts, mask, T, cfg: ICPConfig,
-                           *, bin_size, radius: int, bucket_width: int,
-                           gate: bool):
-    """5-NN + plane-fit correspondences (reference
-    find_correspondences_kdtree :647-767 / find_correspondences_loop
-    :465-585). Returns (normals, q_resid, q_centroid, valid, plane_dist)."""
-    p_world = lie.transform_points(T, pts)
-    nb, nb_ok, _ = knn.knn_query(table, p_world, bin_size=bin_size, k=5,
-                                 radius=radius, bucket_width=bucket_width)
+def _plane_fit_5nn(p_world, cand_pts, cand_ok, mask, cfg: ICPConfig, gate: bool):
+    """Common 5-NN + plane-fit core: select the 5 nearest candidates,
+    collinearity-check the closest 3, fit a plane (reference
+    find_correspondences_kdtree :705-763)."""
+    d2 = jnp.sum((cand_pts - p_world[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+    _, top_idx = jax.lax.top_k(-d2, 5)
+    nb = jnp.take_along_axis(cand_pts, top_idx[..., None], axis=1)
+    nb_ok = jnp.take_along_axis(cand_ok, top_idx, axis=1)
     enough = jnp.sum(nb_ok.astype(jnp.int32), axis=-1) >= 5   # :701-703
     collinear = _is_collinear(nb[:, 0], nb[:, 1], nb[:, 2], 0.5)  # :726 (0.5 hardcoded)
     from ..utils import eigh3
@@ -148,6 +148,28 @@ def _plane_correspondences(table: knn.PointTable, pts, mask, T, cfg: ICPConfig,
     # Residual target: plane centroid for the map path (:760), nearest
     # neighbor point for the loop path (:577 uses selected_points[0]).
     return normal, centroid, nb[:, 0], valid, dist
+
+
+def _grid_plane_correspondences(map_state, pts, mask, T, cfg: ICPConfig):
+    """KD-tree-mode correspondences against the map: candidates are the L0
+    centroids of each query's 3x3x3 voxel neighborhood via the dense grid
+    (replaces nanoflann 5-NN, reference :647-767)."""
+    p_world = lie.transform_points(T, pts)
+    cand, cand_ok = vm.grid_knn_neighbors(map_state, p_world,
+                                          voxel_size=cfg.voxel_size)
+    return _plane_fit_5nn(p_world, cand, cand_ok & mask[:, None], mask, cfg,
+                          gate=True)
+
+
+def _plane_correspondences(table: knn.PointTable, pts, mask, T, cfg: ICPConfig,
+                           *, bin_size, radius: int, bucket_width: int,
+                           gate: bool):
+    """5-NN + plane-fit against a standalone point table (the loop-closure
+    path, reference find_correspondences_loop :465-585)."""
+    p_world = lie.transform_points(T, pts)
+    nb, nb_ok, _ = knn.knn_query(table, p_world, bin_size=bin_size,
+                                 k=5, radius=radius, bucket_width=bucket_width)
+    return _plane_fit_5nn(p_world, nb, nb_ok, mask, cfg, gate=gate)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -168,9 +190,8 @@ def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
                 map_state, pts, mask, T, cfg)
             q_resid = q
         else:
-            normals, q_cen, _q_nn, valid, r_abs = _plane_correspondences(
-                _map_table(map_state), pts, mask, T, cfg,
-                bin_size=cfg.voxel_size, radius=1, bucket_width=2, gate=True)
+            normals, q_cen, _q_nn, valid, r_abs = _grid_plane_correspondences(
+                map_state, pts, mask, T, cfg)
             q_resid = q_cen
 
         count = jnp.sum(valid.astype(jnp.int32))
@@ -202,17 +223,6 @@ def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
     # On failure the caller must use the initial guess (Estimator.cpp:304-307).
     T_final = jnp.where(success, T, T_init)
     return T_final, success, n_corr
-
-
-def _map_table(map_state: vm.VoxelMapState) -> knn.PointTable:
-    """View the L0 table as a PointTable: L0 centroids are already sorted by
-    their own voxel key at map_voxel_size, i.e. exactly the structure
-    knn.knn_query needs (this replaces RebuildKdTree, VoxelMap.cpp:420-438,
-    with a zero-cost view)."""
-    centroid, valid = vm.l0_points(map_state)
-    return knn.PointTable(hi=map_state.l0_hi, lo=map_state.l0_lo,
-                          pts=centroid, valid=valid,
-                          n=map_state.n_l0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_loop_iterations", "search_radius",

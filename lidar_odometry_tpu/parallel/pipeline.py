@@ -5,53 +5,40 @@ Axes (SURVEY.md §2.4):
   * `data`  — independent sequences batched for throughput (the
     data-parallel axis; odometry within a sequence is inherently serial,
     so cross-sequence batching is where device-level scans/s comes from);
-  * `map`   — key-range shards of each sequence's voxel tables (the
-    tensor-parallel analog).
+  * `map`   — slot-range shards of each sequence's voxel tables (the
+    tensor-parallel analog); the dense index grids are replicated.
 
-One step = voxel-filtered scan -> ICP iterations (per-shard surfel gather,
-psum of the 6x6 normal equations over `map`) -> conditional keyframe map
-update (all_gather of table shards -> merge -> re-shard; the all_gather is
-the round-1 update path — a distributed merge kernel replaces it later).
-Collectives ride ICI: psum + all_gather inside shard_map.
+One step = ICP iterations (per-shard surfel gather, psum of the 6x6
+normal equations over `map`) -> conditional keyframe map update
+(all_gather of slot shards -> the single-chip scatter-update -> re-shard;
+the all_gather is the round-1 update path — a slot-local distributed
+allocator replaces it later). Collectives ride ICI: psum + all_gather
+inside shard_map.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import icp as icp_ops
 from ..ops import voxel_map as vm
-from ..utils import keys as K
 from ..utils import lie
-from .sharded_map import _local_lookup
+from .sharded_map import _REPLICATED, _local_lookup, map_specs
 
 __all__ = ["multichip_odometry_step", "batched_map_state", "shard_batched_state"]
 
 
 def batched_map_state(batch: int, c0: int, c1: int) -> vm.VoxelMapState:
-    """A batch of empty per-sequence maps: every table gains a leading
+    """A batch of empty per-sequence maps: every array gains a leading
     `data` dimension."""
     one = vm.empty_map(c0, c1)
     return vm.VoxelMapState(*[
         jnp.broadcast_to(a, (batch,) + a.shape).copy() for a in tuple(one)])
 
 
-def _batched_specs(mesh_axis_data: str, mesh_axis_map: str):
-    spec = []
-    for name in vm.VoxelMapState._fields:
-        if name.startswith("n_"):
-            spec.append(P(mesh_axis_data))
-        else:
-            spec.append(P(mesh_axis_data, mesh_axis_map))
-    return vm.VoxelMapState(*spec)
-
-
 def shard_batched_state(state: vm.VoxelMapState, mesh: Mesh) -> vm.VoxelMapState:
-    specs = _batched_specs("data", "map")
+    specs = map_specs("map", batch_axis="data")
     return vm.VoxelMapState(*[
         jax.device_put(a, NamedSharding(mesh, s))
         for a, s in zip(tuple(state), tuple(specs))])
@@ -63,40 +50,37 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
     """Build the jitted multi-chip step.
 
     Returns step(state, pts, mask, T, is_keyframe) -> (T_new, state_new)
-    where state tables are (B, C, ...) sharded P('data','map'), pts is
-    (B, N, 3) sharded P('data'), T is (B, 4, 4) sharded P('data').
-    """
+    where state slot tables are (B, C, ...) sharded P('data','map'), grids
+    (B, G) sharded P('data'), pts (B, N, 3) sharded P('data')."""
 
     def per_shard(state: vm.VoxelMapState, pts, mask, T, is_kf):
-        # ---- local shapes: state tables (b, c_local, ...), pts (b, N, 3) ----
         def one_seq(st, p, m, T0, kf):
             def icp_iter(_, T_cur):
                 R, t = lie.se3_rt(T_cur)
                 p_world = p @ R.T + t[None, :]
                 normal, centroid, hit = _local_lookup(
                     st.l1_hi, st.l1_lo, st.l1_normal, st.l1_centroid,
-                    st.l1_has_surfel, p_world, cfg.voxel_size,
-                    cfg.hierarchy_factor)
+                    st.l1_has_surfel, st.l1_grid, p_world,
+                    cfg.voxel_size, cfg.hierarchy_factor, "map")
                 r = jnp.sum(normal * (p_world - centroid), axis=-1)
                 valid = hit & m & (jnp.abs(r) <= cfg.max_correspondence_distance)
                 w = valid.astype(jnp.float32)
                 a = normal @ R
                 J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
-                H = J.T @ (J * w[:, None])
-                g = J.T @ (w * r)
-                H = jax.lax.psum(H, "map")
-                g = jax.lax.psum(g, "map")
+                H = jax.lax.psum(J.T @ (J * w[:, None]), "map")
+                g = jax.lax.psum(J.T @ (w * r), "map")
                 H = H + jnp.eye(6) * 1e-6
                 delta = jnp.linalg.solve(H, -g)
                 return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
 
             T_new = jax.lax.fori_loop(0, cfg.max_iterations, icp_iter, T0)
 
-            # ---- keyframe map update: gather shards -> merge -> take mine ----
+            # ---- keyframe map update: gather slot shards, run the
+            # single-chip scatter update, keep my slice ----
             def do_update(st_in):
                 full = vm.VoxelMapState(*[
-                    (jax.lax.all_gather(arr, "map", tiled=True)
-                     if not name.startswith("n_") else arr)
+                    (arr if name in _REPLICATED or name.startswith("n_")
+                     else jax.lax.all_gather(arr, "map", tiled=True))
                     for name, arr in zip(vm.VoxelMapState._fields, tuple(st_in))])
                 world = lie.transform_points(T_new, p)
                 updated = vm.update_map(
@@ -108,7 +92,7 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
                 n_shards = jax.lax.axis_size("map")
 
                 def my_slice(name, arr):
-                    if name.startswith("n_"):
+                    if name in _REPLICATED or name.startswith("n_"):
                         return arr
                     c = arr.shape[0] // n_shards
                     return jax.lax.dynamic_slice_in_dim(arr, idx * c, c, axis=0)
@@ -122,7 +106,7 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
 
         return jax.vmap(one_seq)(state, pts, mask, T, is_kf)
 
-    specs = _batched_specs("data", "map")
+    specs = map_specs("map", batch_axis="data")
     step = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(specs, P("data"), P("data"), P("data"), P("data")),

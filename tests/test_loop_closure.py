@@ -18,13 +18,13 @@ def test_loop_closure_detects_and_corrects():
         max_search_distance=8.0, similarity_threshold=0.4,
         enable_console_statistics=False)
     world = synthetic.make_world(seed=9, extent=80.0, n_buildings=20)
-    n_frames = 60
-    poses = synthetic.loop_trajectory(n_frames, radius=12.0, revolutions=1.08)
+    n_frames = 120  # ~0.66 m + ~3.3 deg per frame — realistic scan motion
+    poses = synthetic.loop_trajectory(n_frames, radius=12.0, revolutions=1.05)
     rng = np.random.default_rng(9)
 
     est = Estimator(cfg, sync_loop=True)
     for i in range(n_frames):
-        scan = synthetic.sample_scan(world, poses[i], 15000, rng,
+        scan = synthetic.sample_scan(world, poses[i], 12000, rng,
                                      max_range=60.0, noise=0.01)
         assert est.process_frame(scan)
     est.shutdown()

@@ -1,0 +1,134 @@
+"""Dataset player end-to-end tests: KITTI .bin and PLY drivers
+(reference app/player/kitti_player.cpp, ply_player.cpp)."""
+import os
+
+import numpy as np
+import pytest
+
+from lidar_odometry_tpu.config import SystemConfig
+from lidar_odometry_tpu.io import synthetic
+from lidar_odometry_tpu.io.kitti import (KittiPlayer, load_kitti_binary,
+                                         load_kitti_gt, pose_to_kitti_string,
+                                         save_trajectory_kitti)
+from lidar_odometry_tpu.io.ply import PLYPlayer, frame_number, load_ply, save_ply
+from lidar_odometry_tpu.eval import T_LIDAR_TO_CAM, lidar_pose_to_cam
+
+
+def _write_bin(path, pts):
+    data = np.zeros((len(pts), 4), np.float32)
+    data[:, :3] = pts
+    data.astype("<f4").tofile(path)
+
+
+def test_kitti_bin_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).standard_normal((1000, 3)).astype(np.float32)
+    p = str(tmp_path / "000000.bin")
+    _write_bin(p, pts)
+    loaded = load_kitti_binary(p)
+    np.testing.assert_allclose(loaded, pts, atol=1e-6)
+
+
+def test_native_prefetcher(tmp_path):
+    from lidar_odometry_tpu.runtime.native_io import Prefetcher
+    rng = np.random.default_rng(1)
+    paths = []
+    clouds = []
+    for i in range(5):
+        pts = rng.standard_normal((500 + i, 3)).astype(np.float32)
+        p = str(tmp_path / f"{i:06d}.bin")
+        _write_bin(p, pts)
+        paths.append(p)
+        clouds.append(pts)
+    pf = Prefetcher(paths, lookahead=2)
+    for i in range(5):
+        got = pf.next()
+        np.testing.assert_allclose(got, clouds[i], atol=1e-6)
+    assert pf.next() is None
+    pf.close()
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(2).standard_normal((777, 3)).astype(np.float32)
+    p = str(tmp_path / "frame_000123.ply")
+    save_ply(p, pts)
+    loaded = load_ply(p)
+    np.testing.assert_allclose(loaded, pts, atol=1e-6)
+    assert frame_number(p) == 123
+
+
+def test_ply_ascii_and_extra_properties(tmp_path):
+    p = str(tmp_path / "a.ply")
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 2\n"
+                "property float intensity\nproperty float x\n"
+                "property float y\nproperty float z\nend_header\n"
+                "9.0 1.0 2.0 3.0\n8.0 4.0 5.0 6.0\n")
+    loaded = load_ply(p)
+    np.testing.assert_allclose(loaded, [[1, 2, 3], [4, 5, 6]], atol=1e-6)
+
+
+def test_kitti_pose_string_lidar_to_cam():
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3] = 5.0  # forward in lidar frame -> +z in camera frame
+    s = pose_to_kitti_string(pose)
+    vals = np.asarray([float(v) for v in s.split()]).reshape(3, 4)
+    np.testing.assert_allclose(vals[:, 3], [0, 0, 5.0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_kitti_player_end_to_end(tmp_path):
+    world = synthetic.make_world(seed=21, extent=60.0, n_buildings=12)
+    poses = synthetic.straight_trajectory(12, step=0.4)
+    rng = np.random.default_rng(21)
+    seq_dir = tmp_path / "sequences" / "07" / "velodyne"
+    os.makedirs(seq_dir)
+    gt_dir = tmp_path / "gt"
+    os.makedirs(gt_dir)
+    for i, pose in enumerate(poses):
+        scan = synthetic.sample_scan(world, pose, 12000, rng,
+                                     max_range=50.0, noise=0.01)
+        _write_bin(str(seq_dir / f"{i:06d}.bin"), scan)
+    # GT file in camera frame, KITTI 12-value rows
+    with open(gt_dir / "07.txt", "w") as f:
+        for pose in poses:
+            cam = lidar_pose_to_cam(pose.astype(np.float64))
+            f.write(" ".join(f"{cam[r, c]:.9f}" for r in range(3) for c in range(4)) + "\n")
+
+    cfg = SystemConfig(
+        data_directory=str(tmp_path), ground_truth_directory=str(gt_dir),
+        output_directory=str(tmp_path / "out"), seq="07",
+        scan_capacity=8192, map_l0_capacity=65536, map_l1_capacity=16384,
+        keyframe_capacity=64, point_stride=1, enable_loop_detection=False,
+        enable_console_statistics=False)
+    player = KittiPlayer(cfg)
+    result = player.run(sync_loop=True)
+    assert result.frames_processed == 12
+    assert result.error_stats is not None
+    assert result.error_stats.ate_rmse < 0.3
+    assert os.path.isfile(result.trajectory_path)
+    lines = open(result.trajectory_path).read().strip().splitlines()
+    assert len(lines) == 12
+    assert len(lines[0].split()) == 12
+
+
+@pytest.mark.slow
+def test_ply_player_end_to_end(tmp_path):
+    world = synthetic.make_world(seed=22, extent=50.0, n_buildings=10)
+    poses = synthetic.straight_trajectory(8, step=0.4)
+    rng = np.random.default_rng(22)
+    for i, pose in enumerate(poses):
+        scan = synthetic.sample_scan(world, pose, 10000, rng,
+                                     max_range=40.0, noise=0.01)
+        save_ply(str(tmp_path / f"scan_{i:05d}.ply"), scan)
+    cfg = SystemConfig(
+        data_directory=str(tmp_path), output_directory=str(tmp_path / "out"),
+        seq="slam", trajectory_format="tum",
+        scan_capacity=8192, map_l0_capacity=65536, map_l1_capacity=16384,
+        keyframe_capacity=64, point_stride=1, enable_loop_detection=False,
+        enable_console_statistics=False, use_surfel_correspondence=False)
+    result = PLYPlayer(cfg).run(sync_loop=True)
+    assert result.frames_processed == 8
+    assert os.path.isfile(result.trajectory_path)
+    lines = open(result.trajectory_path).read().strip().splitlines()
+    assert len(lines) == 8
+    assert len(lines[0].split()) == 8  # TUM: t x y z qx qy qz qw
