@@ -187,7 +187,10 @@ class Estimator:
         timing.icp_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        self.T_current = T_new
+        # Keep R on SO(3): the reference projects on every SE3 construction
+        # (MathUtils.cpp:86-99); without it shear accumulates through the
+        # velocity-model recursion.
+        self.T_current = self._normalize_rotation(T_new)
         # Velocity model update (Estimator.cpp:177)
         self.velocity = np.linalg.inv(self._prev_pose) @ self.T_current
 

@@ -69,6 +69,12 @@ def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstan
         T_icp, success, n_corr = icp_ops.icp_optimize(
             carry.map_state, feat, mask, guess, pko_consts, icp_cfg)
         eye = jnp.eye(4, dtype=jnp.float32)
+        # Re-orthonormalize the rotation once per frame: the velocity-model
+        # recursion T_prev @ inv(T_prev2) @ T_prev SQUARES any shear in R
+        # (se3_inv assumes orthogonality), which otherwise compounds
+        # exponentially. The reference gets this implicitly by projecting
+        # to SO(3) on every SE3 construction (MathUtils.cpp:86-99).
+        T_icp = lie.se3_matrix(lie.so3_project(T_icp[:3, :3]), T_icp[:3, 3])
         T = jnp.where(carry.initialized, T_icp, eye)
 
         velocity = jnp.where(carry.initialized,

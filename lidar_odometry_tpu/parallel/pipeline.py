@@ -74,6 +74,7 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
                 return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
 
             T_new = jax.lax.fori_loop(0, cfg.max_iterations, icp_iter, T0)
+            T_new = lie.se3_matrix(lie.so3_project(T_new[:3, :3]), T_new[:3, 3])
 
             # ---- keyframe map update: gather slot shards, run the
             # single-chip scatter update, keep my slice ----
