@@ -1,5 +1,5 @@
-"""2-level hierarchical voxel surfel map — slot-stable device tables with
-dense index grids (the TPU-native redesign of the reference VoxelMap,
+"""2-level hierarchical voxel surfel map — slot tables + compact hash
+indices (TPU-native redesign of the reference VoxelMap,
 reference src/database/VoxelMap.{h,cpp}).
 
 Reference semantics preserved:
@@ -7,36 +7,33 @@ Reference semantics preserved:
     merges are exact) — VoxelMap.cpp:99-120.
   * L1 parents (hierarchy_factor=3 => 3x3x3 children, Estimator.cpp:79)
     cache a surfel (normal from PCA of child centroids, centroid,
-    planarity = sigma2/sigma0) — VoxelMap.cpp:187-261.
+    planarity = sigma2/sigma0) — VoxelMap.cpp:187-261; the reference's
+    per-parent `occupied_children` set is a (C1, 27) child-slot array.
   * Per-keyframe update: radius eviction beyond max_distance
     (VoxelMap.cpp:146-158), point insertion, surfel recompute only for
-    AFFECTED L1 cells (touched by new points); an affected cell with
-    unchanged child count keeps its cached surfel (`last_child_count`
-    skip, VoxelMap.cpp:203); a non-planar affected cell is DELETED with
-    its L0 children (VoxelMap.cpp:244-253); cells that merely lose
-    children to eviction drop their surfel only below 5 children
-    (UnregisterFromParent, VoxelMap.cpp:82-97).
-  * O(1) surfel query per point (VoxelMap.cpp:368-386) -> ONE dense-grid
-    gather + key verification.
-  * ApplyTransformAndRehash re-keys every centroid, merges collisions by
-    weighted centroid, recomputes ALL surfels without deletion
-    (VoxelMap.cpp:264-366).
+    AFFECTED L1 cells; unchanged-child-count cells keep cached surfels
+    (VoxelMap.cpp:203); non-planar affected cells are DELETED with their
+    children (VoxelMap.cpp:244-253); eviction-only cells drop surfels
+    below 5 children (UnregisterFromParent, VoxelMap.cpp:82-97).
+  * O(1) surfel query (VoxelMap.cpp:368-386): bounded hash probe into a
+    compact index + ONE packed row gather.
+  * ApplyTransformAndRehash merges re-keyed centroids by weighted
+    centroid and recomputes all surfels (VoxelMap.cpp:264-366).
 
-Design (TPU): hash maps become SLOT tables (stable indices, free-list
-allocation) indexed by dense modular GRIDS — int32 arrays over the
-sensor-local voxel lattice mapping packed voxel coords -> slot. A lookup
-is one gather + a key compare (the grid is modular, so aliasing beyond
-the eviction diameter is rejected by the stored key). Updates are pure
-scatter/gather programs: leader-election dedupe of new keys via
-scatter-min, free-slot allocation via cumsum, bounded-size affected-cell
-lists, and per-cell child gathering over the 3x3x3 lattice — NO sorting
-anywhere on the per-keyframe path.
+Design (TPU, v3): measured gather throughput on TPU v5e falls ~7x once
+tables exceed a few hundred thousand entries, so the voxel->slot index is
+an open-addressing HASH table of 4x slot capacity (load <= 0.25, fixed
+probe depth) rather than a dense spatial grid. Hot payloads are packed
+into (C, 8) float32 rows ([normal|centroid|key]) so a lookup is: probe
+gathers on small tables + 1 row gather. Updates are pure scatter
+programs — leader election by scatter-min, free-slot allocation by
+cumsum compaction, child registration into the (C1, 27) slot lists.
 
-Grid geometry: L0 grid 512x512x128 @ voxel_size (256 m x 256 m x 64 m
-wrap), L1 grid 256x256x64 @ 3*voxel_size. The eviction radius
-(max_range*1.2 = 120 m => 240 m diameter) fits inside the wrap period, so
-live keys never alias. Keys whose z wraps are verified-and-missed rather
-than corrupted.
+Staleness discipline: eviction/deletion NEVER touches the index — dead
+cells are detected by key verification (freed slots carry INVALID keys)
+and recycled by insertion (two-pass: find-existing across all probe
+rounds, then claim the first dead-or-empty cell). Child lists verify each
+entry's parent key, so slot reuse can never leak points across cells.
 """
 from __future__ import annotations
 
@@ -52,204 +49,239 @@ from ..utils import eigh3
 
 __all__ = ["VoxelMapState", "empty_map", "update_map", "lookup_surfels",
            "transform_and_rehash", "l0_points", "grid_knn_neighbors",
-           "MIN_OCCUPIED_CHILDREN", "L0_GRID", "L1_GRID"]
+           "MIN_OCCUPIED_CHILDREN", "configure_grids"]
 
 MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 
-# Dense grid dimensions (power-of-two moduli). Configurable because the
-# multichip dryrun and CPU tests want small grids; production TPU maps use
-# the defaults. All jitted entry points key their cache on the grid array
-# shapes, so states built under one configuration stay self-consistent.
-L0_GRID = (512, 512, 128)
-L1_GRID = (256, 256, 64)
+# Hash index sizing and fixed probe depth (insert and lookup MUST agree so
+# every inserted key is findable). Load factor <= 0.25 makes the miss
+# probability after N_PROBES rounds ~0.25^4 = 0.4% per key; failed inserts
+# drop the point (bounded, like every other capacity in this design).
+INDEX_FACTOR = 4
+N_PROBES = 4
+INSERT_RETRIES = 3
+
+# Static caps for per-update candidate lists.
+AFFECTED_CAP = 8192
+EVICT_CAP = 16384
 
 
 def configure_grids(l0_dims=None, l1_dims=None):
-    global L0_GRID, L1_GRID
-    if l0_dims is not None:
-        assert all(d & (d - 1) == 0 for d in l0_dims), "grid dims must be powers of two"
-        L0_GRID = tuple(l0_dims)
-    if l1_dims is not None:
-        assert all(d & (d - 1) == 0 for d in l1_dims), "grid dims must be powers of two"
-        L1_GRID = tuple(l1_dims)
+    """Back-compat no-op (v2 used dense grids; v3 hash indices size
+    themselves from slot capacities)."""
+    del l0_dims, l1_dims
 
 
-def _l0_size():
-    return L0_GRID[0] * L0_GRID[1] * L0_GRID[2]
+def _index_size(capacity: int) -> int:
+    n = INDEX_FACTOR * capacity
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
-def _l1_size():
-    return L1_GRID[0] * L1_GRID[1] * L1_GRID[2]
+def _hash_cell(hi: jax.Array, lo: jax.Array, mask: int, round_: int):
+    """Multiplicative mixing of the packed key pair -> index cell; probe
+    rounds use double hashing (odd step) to keep clusters short."""
+    h = hi * jnp.uint32(0x9E3779B1) ^ lo * jnp.uint32(0x85EBCA77)
+    h = (h ^ (h >> jnp.uint32(15))) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(13))
+    step = (lo * jnp.uint32(0x27D4EB2F)) | jnp.uint32(1)
+    return ((h + jnp.uint32(round_) * step) & jnp.uint32(mask)).astype(jnp.int32)
 
-# Static cap on per-update "affected L1 cell" set. Scans contribute at most
-# scan_capacity distinct parents; in practice a few hundred. Overflow
-# entries are dropped for the round (stale surfels — logged via n counts).
-AFFECTED_CAP = 8192
 
-
-def _grid_index(coords: jax.Array, dims) -> jax.Array:
-    """(..., 3) int32 voxel coords -> flat modular grid index."""
-    gx, gy, gz = dims
-    ix = coords[..., 0] & (gx - 1)
-    iy = coords[..., 1] & (gy - 1)
-    iz = coords[..., 2] & (gz - 1)
-    return (ix * gy + iy) * gz + iz
+_CHILD_OFFS = np.stack(np.meshgrid(*([np.arange(3)] * 3), indexing="ij"),
+                       axis=-1).reshape(27, 3).astype(np.int32)
+_NB_OFFS = _CHILD_OFFS - 1  # -1..1 cube for kNN
 
 
 class VoxelMapState(NamedTuple):
-    # L0 leaf slots (stable indices; NOT sorted)
-    l0_hi: jax.Array        # (C0,) uint32 packed key (INVALID when free)
-    l0_lo: jax.Array        # (C0,) uint32
+    # L0 leaf slots (stable indices)
+    l0_key: jax.Array       # (C0, 2) uint32 packed key (INVALID when free)
     l0_sum: jax.Array       # (C0, 3) f32 running point-sum
     l0_count: jax.Array     # (C0,) i32 — 0 marks a free slot
+    l0_index: jax.Array     # (H0,) i32 hash index -> slot (never cleared)
     n_l0: jax.Array         # () i32
-    l0_grid: jax.Array      # (l0 grid size,) i32 — voxel lattice -> slot (-1 empty)
     # L1 parent slots
-    l1_hi: jax.Array        # (C1,) uint32
-    l1_lo: jax.Array        # (C1,) uint32
-    l1_normal: jax.Array    # (C1, 3)
-    l1_centroid: jax.Array  # (C1, 3)
+    l1_key: jax.Array       # (C1, 2) uint32
+    l1_surfel: jax.Array    # (C1, 8) f32 [normal(3) | centroid(3) | key(2)]
+    #   key cols mirror l1_key when has_surfel, else INVALID — one row
+    #   gather answers both existence and payload.
     l1_planarity: jax.Array  # (C1,)
-    l1_has_surfel: jax.Array  # (C1,) bool
-    l1_child_count: jax.Array  # (C1,) i32 — live child count (0 = free slot)
-    l1_last_count: jax.Array   # (C1,) i32 — child count at last surfel compute
+    l1_children: jax.Array  # (C1, 27) i32 child slot ids (-1 empty)
+    l1_child_count: jax.Array  # (C1,) i32 (0 = free slot)
+    l1_last_count: jax.Array   # (C1,) i32 last surfel-compute count
+    l1_index: jax.Array     # (H1,) i32
     n_l1: jax.Array         # () i32
-    l1_grid: jax.Array      # (l1 grid size,) i32
+
+
+_INVALID_KEY_F32 = np.frombuffer(
+    np.asarray([0xFFFFFFFF], np.uint32).tobytes(), np.float32)[0]
+
+
+def _key_f32(keys2: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(keys2, jnp.float32)
 
 
 def empty_map(c0: int, c1: int) -> VoxelMapState:
     u = jnp.uint32
+    inval = jnp.asarray([K.INVALID_HI, K.INVALID_LO], dtype=u)
+    surfel = jnp.zeros((c1, 8), jnp.float32)
+    surfel = surfel.at[:, 6:].set(_INVALID_KEY_F32)
     return VoxelMapState(
-        l0_hi=jnp.full((c0,), K.INVALID_HI, dtype=u),
-        l0_lo=jnp.full((c0,), K.INVALID_LO, dtype=u),
+        l0_key=jnp.broadcast_to(inval, (c0, 2)).copy(),
         l0_sum=jnp.zeros((c0, 3), jnp.float32),
         l0_count=jnp.zeros((c0,), jnp.int32),
+        l0_index=jnp.full((_index_size(c0),), -1, jnp.int32),
         n_l0=jnp.int32(0),
-        l0_grid=jnp.full((_l0_size(),), -1, jnp.int32),
-        l1_hi=jnp.full((c1,), K.INVALID_HI, dtype=u),
-        l1_lo=jnp.full((c1,), K.INVALID_LO, dtype=u),
-        l1_normal=jnp.zeros((c1, 3), jnp.float32),
-        l1_centroid=jnp.zeros((c1, 3), jnp.float32),
+        l1_key=jnp.broadcast_to(inval, (c1, 2)).copy(),
+        l1_surfel=surfel,
         l1_planarity=jnp.ones((c1,), jnp.float32),
-        l1_has_surfel=jnp.zeros((c1,), bool),
+        l1_children=jnp.full((c1, 27), -1, jnp.int32),
         l1_child_count=jnp.zeros((c1,), jnp.int32),
         l1_last_count=jnp.zeros((c1,), jnp.int32),
+        l1_index=jnp.full((_index_size(c1),), -1, jnp.int32),
         n_l1=jnp.int32(0),
-        l1_grid=jnp.full((_l1_size(),), -1, jnp.int32),
     )
 
 
+def _probe(index, key_tbl, qhi, qlo):
+    """Find each query key's slot by fixed-depth double-hash probing with
+    key verification (dead cells skipped). Returns slot (N,), -1 absent."""
+    h1m = index.shape[0] - 1
+    c = key_tbl.shape[0]
+    n = qhi.shape[0]
+    slot = jnp.full((n,), -1, jnp.int32)
+    found = jnp.zeros((n,), bool)
+    for r in range(N_PROBES):
+        pos = _hash_cell(qhi, qlo, h1m, r)
+        cand = index[pos]
+        cand_c = jnp.clip(cand, 0, c - 1)
+        k = key_tbl[cand_c]
+        ok = (cand >= 0) & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~found
+        slot = jnp.where(ok, cand, slot)
+        found = found | ok
+    return slot
+
+
+def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
+                 free_cap: int):
+    """Resolve-or-allocate slots for candidate keys (AddPoint /
+    RegisterToParent). Two-phase per retry: (1) full-depth probe for the
+    existing key; (2) claim the first DEAD-or-empty index cell by
+    scatter-min leader election (dead = cell's slot key is INVALID — how
+    eviction/deletion recycle both cells and slots). Losers retry.
+    Returns (index', key_tbl', slot (N,), newly_allocated (N,))."""
+    h1m = index.shape[0] - 1
+    c = key_tbl.shape[0]
+    n = qhi.shape[0]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    BIG = jnp.iinfo(jnp.int32).max
+
+    free_slots, n_free = _free_slot_list(slot_valid, free_cap)
+    alloc_count = jnp.int32(0)
+
+    slot = jnp.full((n,), -1, jnp.int32)
+    resolved = ~cand_mask
+    allocated = jnp.zeros((n,), bool)
+
+    for _retry in range(INSERT_RETRIES):
+        # phase 1: find existing
+        for r in range(N_PROBES):
+            pos = _hash_cell(qhi, qlo, h1m, r)
+            cand = index[pos]
+            cand_c = jnp.clip(cand, 0, c - 1)
+            k = key_tbl[cand_c]
+            hit = (cand >= 0) & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~resolved
+            slot = jnp.where(hit, cand, slot)
+            resolved = resolved | hit
+
+        # phase 2: first reusable cell (empty, or dead slot)
+        claim_pos = jnp.full((n,), -1, jnp.int32)
+        for r in range(N_PROBES - 1, -1, -1):
+            pos = _hash_cell(qhi, qlo, h1m, r)
+            cand = index[pos]
+            cand_c = jnp.clip(cand, 0, c - 1)
+            k = key_tbl[cand_c]
+            dead = (cand >= 0) & (k[:, 0] == K.INVALID_HI) & (k[:, 1] == K.INVALID_LO)
+            reusable = (cand < 0) | dead
+            claim_pos = jnp.where(reusable & ~resolved, pos, claim_pos)
+
+        want = ~resolved & (claim_pos >= 0)
+        marker = jnp.full((index.shape[0],), BIG, jnp.int32)
+        marker = marker.at[jnp.where(want, claim_pos, index.shape[0])].min(
+            idxs, mode="drop")
+        leader = want & (marker[jnp.clip(claim_pos, 0, index.shape[0] - 1)] == idxs)
+        lead_rank = jnp.cumsum(leader.astype(jnp.int32)) - 1 + alloc_count
+        can = leader & (lead_rank < n_free) & (lead_rank < free_cap)
+        new_slot = jnp.where(can, free_slots[jnp.clip(lead_rank, 0, free_cap - 1)], -1)
+        tgt = jnp.where(can, new_slot, c)
+        key_tbl = key_tbl.at[tgt].set(jnp.stack([qhi, qlo], axis=-1), mode="drop")
+        index = index.at[jnp.where(can, claim_pos, index.shape[0])].set(
+            new_slot, mode="drop")
+        alloc_count = alloc_count + jnp.sum(can.astype(jnp.int32))
+        slot = jnp.where(can, new_slot, slot)
+        resolved = resolved | can
+        allocated = allocated | can
+
+    return index, key_tbl, slot, allocated
+
+
 def _free_slot_list(valid: jax.Array, cap_out: int):
-    """Compact the indices of free slots (~valid) into a (cap_out,) list
-    via cumsum+scatter. Returns (slots, n_free)."""
     c = valid.shape[0]
     free = ~valid
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     out = jnp.full((cap_out,), -1, jnp.int32)
     pos = jnp.where(free & (rank < cap_out), rank, cap_out - 1)
-    # scatter-min keeps the lowest slot index per rank (ranks are unique)
     out = out.at[pos].max(jnp.where(free & (rank < cap_out),
                                     jnp.arange(c, dtype=jnp.int32), -1),
                           mode="drop")
     return out, jnp.sum(free.astype(jnp.int32))
 
 
-def _allocate(grid, hi, lo, slot_valid, cells, key_hi, key_lo, cand_mask,
-              free_cap: int):
-    """Allocate slots for candidate keys not present in `grid`.
-
-    cells: (P,) flat grid indices of candidates; key_hi/lo their packed
-    keys; cand_mask marks live candidates. Returns (grid', hi', lo',
-    slot_per_candidate (P,) — -1 where dropped, is_new (P,)).
-
-    Leader election: scatter-min candidate index into the grid cell; the
-    winning candidate allocates, others read back the assigned slot.
-    """
-    c = hi.shape[0]
-    p = cells.shape[0]
-    idx = jnp.arange(p, dtype=jnp.int32)
-
-    existing = grid[cells]
-    ex_slot = jnp.clip(existing, 0, c - 1)
-    hit = (existing >= 0) & K.key_eq(hi[ex_slot], lo[ex_slot], key_hi, key_lo) \
-        & slot_valid[ex_slot] & cand_mask
-    miss = cand_mask & ~hit
-
-    # Mark misses with temp ids (c + idx) via scatter-min; winners become
-    # leaders for their cell.
-    TMP = jnp.int32(c)
-    marker = jnp.full((grid.shape[0],), jnp.iinfo(jnp.int32).max, jnp.int32)
-    marker = marker.at[jnp.where(miss, cells, 0)].min(
-        jnp.where(miss, TMP + idx, jnp.iinfo(jnp.int32).max), mode="promise_in_bounds")
-    leader = miss & (marker[cells] == TMP + idx)
-
-    free_slots, n_free = _free_slot_list(slot_valid, free_cap)
-    lead_rank = jnp.cumsum(leader.astype(jnp.int32)) - 1
-    can_alloc = leader & (lead_rank < n_free) & (lead_rank < free_cap)
-    new_slot = jnp.where(can_alloc, free_slots[jnp.clip(lead_rank, 0, free_cap - 1)], -1)
-
-    # Write allocated keys into slot arrays + grid.
-    tgt = jnp.where(can_alloc, new_slot, c)  # c = dropped (mode=drop)
-    hi = hi.at[tgt].set(key_hi, mode="drop")
-    lo = lo.at[tgt].set(key_lo, mode="drop")
-    grid = grid.at[jnp.where(can_alloc, cells, grid.shape[0])].set(
-        new_slot, mode="drop")
-
-    # Every candidate re-reads its cell to learn the final slot.
-    final = grid[cells]
-    f_slot = jnp.clip(final, 0, c - 1)
-    ok = (final >= 0) & K.key_eq(hi[f_slot], lo[f_slot], key_hi, key_lo) & cand_mask
-    slot_out = jnp.where(ok, final, -1)
-    return grid, hi, lo, slot_out, can_alloc
-
-
-def _compact_cells(marker_grid, cells, mask, cap: int):
-    """Dedupe candidate grid cells via leader election on a scratch marker,
-    compacting leader positions into a (cap,) list. Returns
-    (cell_list (cap,), source_index_list (cap,), n)."""
-    p = cells.shape[0]
-    idx = jnp.arange(p, dtype=jnp.int32)
-    BIG = jnp.iinfo(jnp.int32).max
-    marker = marker_grid.at[jnp.where(mask, cells, 0)].min(
-        jnp.where(mask, idx, BIG), mode="promise_in_bounds")
-    leader = mask & (marker[cells] == idx)
-    rank = jnp.cumsum(leader.astype(jnp.int32)) - 1
-    keep = leader & (rank < cap)
-    cell_list = jnp.full((cap,), -1, jnp.int32)
-    src_list = jnp.full((cap,), -1, jnp.int32)
+def _compact_mask(mask: jax.Array, cap: int):
+    """Compact the True positions of `mask` into a (cap,) index list."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    keep = mask & (rank < cap)
+    out = jnp.full((cap,), -1, jnp.int32)
     pos = jnp.where(keep, rank, cap - 1)
-    cell_list = cell_list.at[pos].max(jnp.where(keep, cells, -1), mode="drop")
-    src_list = src_list.at[pos].max(jnp.where(keep, idx, -1), mode="drop")
-    return cell_list, src_list, jnp.minimum(jnp.sum(leader.astype(jnp.int32)), cap)
+    out = out.at[pos].max(jnp.where(keep, jnp.arange(n, dtype=jnp.int32), -1),
+                          mode="drop")
+    return out, jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
 
 
-_CHILD_OFFS = np.stack(np.meshgrid(*([np.arange(3)] * 3), indexing="ij"),
-                       axis=-1).reshape(27, 3).astype(np.int32)
+def _child_offset_of(coords: jax.Array) -> jax.Array:
+    """Position of an L0 voxel inside its 3x3x3 parent (0..26), floor-mod."""
+    m = coords - 3 * jnp.floor_divide(coords, 3)
+    return (m[..., 0] * 3 + m[..., 1]) * 3 + m[..., 2]
 
 
-def _cell_children_stats(state_l0, parent_coords_arr, cell_mask):
-    """For (A, 3) parent cell coords, gather the 27 child L0 voxels via the
-    L0 grid and compute (child_count, mean, cov) from their centroids —
-    the vectorized replacement for per-cell child-set iteration
-    (reference VoxelMap.cpp:207-236)."""
-    l0_hi, l0_lo, l0_sum, l0_count, l0_grid = state_l0
-    c0 = l0_hi.shape[0]
-    child_coords = parent_coords_arr[:, None, :] * 3 + jnp.asarray(_CHILD_OFFS)[None, :, :]
-    chi, clo = K.pack_key(child_coords)
-    gidx = _grid_index(child_coords, L0_GRID)
-    slot = l0_grid[gidx]
-    slot_c = jnp.clip(slot, 0, c0 - 1)
-    ok = (slot >= 0) & (l0_count[slot_c] > 0) \
-        & K.key_eq(l0_hi[slot_c], l0_lo[slot_c], chi, clo) \
-        & cell_mask[:, None]
+def _surfel_stats_from_children(l0_key, l0_sum, l0_count, l1_children,
+                                cell_key, aff_slot, aff_ok,
+                                hierarchy_factor: int):
+    """Gather the (A, 27) child slots of the given L1 slots and compute
+    (count, mean, cov) over their centroids (reference VoxelMap.cpp:207-236).
+    Every child entry is verified: its key's parent must equal the cell's
+    key (slot reuse can leave stale entries; this makes them inert)."""
+    c0 = l0_count.shape[0]
+    kids = l1_children[jnp.clip(aff_slot, 0, l1_children.shape[0] - 1)]
+    kids = jnp.where(aff_ok[:, None], kids, -1)
+    kc = jnp.clip(kids, 0, c0 - 1)
+    ck = l0_key[kc]                      # (A, 27, 2)
+    ccoords = K.unpack_key(ck[..., 0], ck[..., 1])
+    cpar = K.parent_coords(ccoords, hierarchy_factor)
+    cphi, cplo = K.pack_key(cpar)
+    ok = (kids >= 0) & (l0_count[kc] > 0) \
+        & (cphi == cell_key[:, None, 0]) & (cplo == cell_key[:, None, 1])
     cnt = jnp.sum(ok.astype(jnp.int32), axis=1)
-    cen = l0_sum[slot_c] / jnp.maximum(l0_count[slot_c], 1)[..., None].astype(jnp.float32)
+    cen = l0_sum[kc] / jnp.maximum(l0_count[kc], 1)[..., None].astype(jnp.float32)
     w = ok.astype(jnp.float32)[..., None]
     s1 = jnp.sum(cen * w, axis=1)
     mean = s1 / jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
     d = (cen - mean[:, None, :]) * w
     cov = jnp.einsum("aky,akz->ayz", d, d) / jnp.maximum(cnt, 1)[:, None, None].astype(jnp.float32)
-    return cnt, mean, cov, slot, ok
+    return cnt, mean, cov, kids, ok
 
 
 @partial(jax.jit, static_argnames=("hierarchy_factor", "compute_surfels"))
@@ -259,10 +291,11 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                compute_surfels: bool = True) -> VoxelMapState:
     """Per-keyframe map update (reference VoxelMap::UpdateVoxelMap,
     VoxelMap.cpp:128-262) as a sort-free scatter program."""
-    c0 = state.l0_hi.shape[0]
-    c1 = state.l1_hi.shape[0]
+    c0 = state.l0_count.shape[0]
+    c1 = state.l1_child_count.shape[0]
     f32 = jnp.float32
     p = new_pts.shape[0]
+    INVAL = jnp.asarray([K.INVALID_HI, K.INVALID_LO], jnp.uint32)
 
     # ---- Step 1: radius eviction (VoxelMap.cpp:146-158) ----
     centroid = state.l0_sum / jnp.maximum(state.l0_count, 1)[:, None].astype(f32)
@@ -270,12 +303,26 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     dist_sq = jnp.sum((centroid - sensor_pos[None, :]) ** 2, axis=-1)
     evict = valid0 & (dist_sq > max_distance * max_distance)
     keep = valid0 & ~evict
-    l0_coords_all = K.unpack_key(state.l0_hi, state.l0_lo)
-    ev_gidx = _grid_index(l0_coords_all, L0_GRID)
-    l0_grid = state.l0_grid.at[
-        jnp.where(evict, ev_gidx, state.l0_grid.shape[0])].set(-1, mode="drop")
-    l0_hi = jnp.where(keep, state.l0_hi, K.INVALID_HI)
-    l0_lo = jnp.where(keep, state.l0_lo, K.INVALID_LO)
+
+    # evicted voxels leave their parents' child lists (the parents appear
+    # in the affected set below so their counts/surfels refresh)
+    ev_list, _ = _compact_mask(evict, EVICT_CAP)
+    ev_ok = ev_list >= 0
+    ev_slot = jnp.clip(ev_list, 0, c0 - 1)
+    ekey = state.l0_key[ev_slot]
+    ev_coords = K.unpack_key(ekey[:, 0], ekey[:, 1])
+    ev_par = K.parent_coords(ev_coords, hierarchy_factor)
+    ephi, eplo = K.pack_key(ev_par)
+    ep_slot = _probe(state.l1_index, state.l1_key,
+                     jnp.where(ev_ok, ephi, K.INVALID_HI),
+                     jnp.where(ev_ok, eplo, K.INVALID_LO))
+    ev_off = _child_offset_of(ev_coords)
+    has_par = ev_ok & (ep_slot >= 0)
+    l1_children = state.l1_children.at[
+        jnp.where(has_par, ep_slot, c1), jnp.where(has_par, ev_off, 0)].set(
+        -1, mode="drop")
+
+    l0_key = jnp.where(keep[:, None], state.l0_key, INVAL)
     l0_sum = jnp.where(keep[:, None], state.l0_sum, 0.0)
     l0_count = jnp.where(keep, state.l0_count, 0)
 
@@ -283,55 +330,65 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     inv = 1.0 / voxel_size
     pcoords = K.voxel_coords(new_pts, inv)
     phi, plo = K.pack_key(pcoords)
-    pgidx = _grid_index(pcoords, L0_GRID)
-    l0_grid, l0_hi, l0_lo, slot, is_new = _allocate(
-        l0_grid, l0_hi, l0_lo, l0_count > 0, pgidx, phi, plo, new_mask,
-        free_cap=p)
+    phi = jnp.where(new_mask, phi, K.INVALID_HI)
+    plo = jnp.where(new_mask, plo, K.INVALID_LO)
+    l0_index, l0_key, slot, l0_new = _insert_keys(
+        state.l0_index, l0_key, l0_count > 0, phi, plo, new_mask, free_cap=p)
     placed = slot >= 0
     tgt = jnp.where(placed, slot, c0)
     l0_sum = l0_sum.at[tgt].add(jnp.where(placed[:, None], new_pts, 0.0), mode="drop")
     l0_count = l0_count.at[tgt].add(placed.astype(jnp.int32), mode="drop")
     n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
 
-    state_l0 = (l0_hi, l0_lo, l0_sum, l0_count, l0_grid)
+    # ---- Step 3: parents of new points; register new children
+    # (RegisterToParent, VoxelMap.cpp:77-80) ----
+    npar = K.parent_coords(pcoords, hierarchy_factor)
+    nphi, nplo = K.pack_key(npar)
+    nphi = jnp.where(new_mask & placed, nphi, K.INVALID_HI)
+    nplo = jnp.where(new_mask & placed, nplo, K.INVALID_LO)
+    l1_index, l1_key, par_slot, l1_new = _insert_keys(
+        state.l1_index, state.l1_key, state.l1_child_count > 0,
+        nphi, nplo, new_mask & placed, free_cap=AFFECTED_CAP)
+    l1_children = l1_children.at[jnp.where(l1_new, par_slot, c1)].set(
+        -1, mode="drop")
+    ch_off = _child_offset_of(pcoords)
+    reg = l0_new & (par_slot >= 0)
+    l1_children = l1_children.at[
+        jnp.where(reg, par_slot, c1), jnp.where(reg, ch_off, 0)].set(
+        jnp.where(reg, slot, -1), mode="drop")
 
-    # ---- Step 3: affected L1 cells ----
-    # (a) parents of new points (VoxelMap.cpp:172-179); (b) parents of
-    # evicted voxels (UnregisterFromParent semantics).
-    new_parents = K.parent_coords(pcoords, hierarchy_factor)
-    ev_parents = K.parent_coords(l0_coords_all, hierarchy_factor)
-    cand_coords = jnp.concatenate([new_parents, ev_parents])
-    cand_mask = jnp.concatenate([new_mask & placed, evict])
-    from_new = jnp.concatenate([jnp.ones((p,), bool), jnp.zeros((c0,), bool)])
-    cand_gidx = _grid_index(cand_coords, L1_GRID)
-    scratch = jnp.full((_l1_size(),), jnp.iinfo(jnp.int32).max, jnp.int32)
-    cell_list, src_list, n_aff = _compact_cells(
-        scratch, cand_gidx, cand_mask, AFFECTED_CAP)
-    # was this cell touched by a NEW point (vs eviction only)? OR-reduce.
-    touched_by_new = jnp.zeros((_l1_size(),), bool).at[
-        jnp.where(cand_mask & from_new, cand_gidx, 0)].max(
-        cand_mask & from_new, mode="promise_in_bounds")
-
-    aff_mask = src_list >= 0
-    src_c = jnp.clip(src_list, 0, cand_coords.shape[0] - 1)
-    aff_coords = cand_coords[src_c]
-    aff_hi, aff_lo = K.pack_key(aff_coords)
-    aff_is_new = touched_by_new[jnp.clip(cell_list, 0, _l1_size() - 1)] & aff_mask
-
-    # ---- Step 4: allocate/lookup L1 slots for affected cells ----
-    l1_grid, l1_hi, l1_lo, aff_slot, l1_alloc = _allocate(
-        state.l1_grid, state.l1_hi, state.l1_lo, state.l1_child_count > 0,
-        jnp.clip(cell_list, 0, _l1_size() - 1), aff_hi, aff_lo, aff_mask,
-        free_cap=AFFECTED_CAP)
-    aff_ok = aff_slot >= 0
+    # ---- Step 4: affected set = parents of new points + evicted parents ----
+    cand_slot = jnp.concatenate([par_slot, jnp.where(has_par, ep_slot, -1)])
+    cand_isnew = jnp.concatenate([jnp.ones((p,), bool), jnp.zeros((EVICT_CAP,), bool)])
+    cand_ok = cand_slot >= 0
+    nidx = jnp.arange(cand_slot.shape[0], dtype=jnp.int32)
+    BIG = jnp.iinfo(jnp.int32).max
+    own = jnp.full((c1,), BIG, jnp.int32)
+    own = own.at[jnp.where(cand_ok, cand_slot, c1)].min(nidx, mode="drop")
+    leader = cand_ok & (own[jnp.clip(cand_slot, 0, c1 - 1)] == nidx)
+    touched_new = jnp.zeros((c1,), bool).at[
+        jnp.where(cand_ok & cand_isnew, cand_slot, c1)].max(True, mode="drop")
+    lead_list, _ = _compact_mask(leader, AFFECTED_CAP)
+    aff_ok = lead_list >= 0
+    aff_slot = jnp.where(
+        aff_ok, cand_slot[jnp.clip(lead_list, 0, cand_slot.shape[0] - 1)], -1)
     aff_slot_c = jnp.clip(aff_slot, 0, c1 - 1)
+    aff_is_new = touched_new[aff_slot_c] & aff_ok
 
-    # ---- Step 5: per-cell child stats over the 3x3x3 lattice ----
-    cnt, mean, cov, child_slot, child_ok = _cell_children_stats(
-        state_l0, aff_coords, aff_ok)
+    # ---- Step 5: child stats + surfel decisions ----
+    cell_key = l1_key[aff_slot_c]
+    cnt, mean, cov, kids, kids_ok = _surfel_stats_from_children(
+        l0_key, l0_sum, l0_count, l1_children, cell_key, aff_slot, aff_ok,
+        hierarchy_factor)
 
-    prev_has = state.l1_has_surfel[aff_slot_c] & ~l1_alloc
-    prev_last = jnp.where(l1_alloc, 0, state.l1_last_count[aff_slot_c])
+    srow = state.l1_surfel[aff_slot_c]
+    prev_has = (jax.lax.bitcast_convert_type(srow[:, 6], jnp.uint32) == cell_key[:, 0]) \
+        & (jax.lax.bitcast_convert_type(srow[:, 7], jnp.uint32) == cell_key[:, 1])
+    prev_last = state.l1_last_count[aff_slot_c]
+
+    l1_surfel = state.l1_surfel
+    l1_planarity = state.l1_planarity
+    l1_last = state.l1_last_count
 
     if compute_surfels:
         lam, normal = eigh3.eigh3(cov)
@@ -341,21 +398,17 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         recompute = aff_is_new & aff_ok & enough & ~skip
         non_planar = recompute & (plan > planarity_threshold)
         use_new = recompute & ~non_planar
-
-        # eviction-only cells: keep surfel while >= 5 children
         has_out = jnp.where(aff_is_new,
-                            jnp.where(enough, (skip | use_new), False),
+                            jnp.where(enough, skip | use_new, False),
                             prev_has & enough)
+
         # ---- non-planar deletion (VoxelMap.cpp:244-253) ----
-        del_children = child_ok & non_planar[:, None]
-        dslot = jnp.where(del_children, child_slot, c0)
-        l0_count = l0_count.at[dslot.reshape(-1)].set(0, mode="drop")
-        l0_hi = l0_hi.at[dslot.reshape(-1)].set(K.INVALID_HI, mode="drop")
-        l0_lo = l0_lo.at[dslot.reshape(-1)].set(K.INVALID_LO, mode="drop")
-        child_coords = aff_coords[:, None, :] * 3 + jnp.asarray(_CHILD_OFFS)[None, :, :]
-        cg = _grid_index(child_coords, L0_GRID).reshape(-1)
-        l0_grid = l0_grid.at[jnp.where(del_children.reshape(-1), cg,
-                                       l0_grid.shape[0])].set(-1, mode="drop")
+        del_children = kids_ok & non_planar[:, None]
+        dslot = jnp.where(del_children, kids, c0).reshape(-1)
+        l0_count = l0_count.at[dslot].set(0, mode="drop")
+        l0_key = l0_key.at[dslot].set(INVAL, mode="drop")
+        l1_children = l1_children.at[jnp.where(non_planar, aff_slot, c1)].set(
+            -1, mode="drop")
         n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
         cnt = jnp.where(non_planar, 0, cnt)
         has_out = has_out & ~non_planar
@@ -363,75 +416,69 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         normal = jnp.zeros_like(mean)
         plan = jnp.ones((AFFECTED_CAP,), f32)
         use_new = jnp.zeros((AFFECTED_CAP,), bool)
-        non_planar = jnp.zeros((AFFECTED_CAP,), bool)
         has_out = jnp.zeros((AFFECTED_CAP,), bool)
 
     # ---- Step 6: write back affected cells ----
     wslot = jnp.where(aff_ok, aff_slot, c1)
     l1_child_count = state.l1_child_count.at[wslot].set(cnt, mode="drop")
-    l1_has = state.l1_has_surfel.at[wslot].set(has_out, mode="drop")
-    l1_normal = state.l1_normal.at[jnp.where(use_new, wslot, c1)].set(
-        normal, mode="drop")
-    l1_centroid = state.l1_centroid.at[jnp.where(use_new, wslot, c1)].set(
-        mean, mode="drop")
-    l1_planarity = state.l1_planarity.at[jnp.where(use_new, wslot, c1)].set(
+    key_cols = _key_f32(cell_key)
+    inval2 = jnp.full((AFFECTED_CAP, 2), _INVALID_KEY_F32, f32)
+    keep_payload = jnp.where(use_new[:, None], jnp.concatenate([normal, mean], axis=-1),
+                             srow[:, :6])
+    rows = jnp.concatenate(
+        [keep_payload, jnp.where(has_out[:, None], key_cols, inval2)], axis=-1)
+    l1_surfel = l1_surfel.at[wslot].set(rows, mode="drop")
+    l1_planarity = l1_planarity.at[jnp.where(use_new, wslot, c1)].set(
         plan, mode="drop")
-    l1_last = state.l1_last_count.at[jnp.where(use_new, wslot, c1)].set(
-        cnt, mode="drop")
+    l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(cnt, mode="drop")
 
-    # free fully-deleted / emptied cells in the grid
+    # free emptied cells: key -> INVALID recycles both slot and index cell
     freed = aff_ok & (cnt == 0)
-    l1_grid = l1_grid.at[jnp.where(freed, cell_list, l1_grid.shape[0])].set(
-        -1, mode="drop")
-    l1_hi = l1_hi.at[jnp.where(freed, wslot, c1)].set(K.INVALID_HI, mode="drop")
-    l1_lo = l1_lo.at[jnp.where(freed, wslot, c1)].set(K.INVALID_LO, mode="drop")
+    l1_key = l1_key.at[jnp.where(freed, wslot, c1)].set(INVAL, mode="drop")
 
     n_l1 = jnp.sum((l1_child_count > 0).astype(jnp.int32))
     return VoxelMapState(
-        l0_hi=l0_hi, l0_lo=l0_lo, l0_sum=l0_sum, l0_count=l0_count,
-        n_l0=n_l0, l0_grid=l0_grid,
-        l1_hi=l1_hi, l1_lo=l1_lo, l1_normal=l1_normal,
-        l1_centroid=l1_centroid, l1_planarity=l1_planarity,
-        l1_has_surfel=l1_has, l1_child_count=l1_child_count,
-        l1_last_count=l1_last, n_l1=n_l1, l1_grid=l1_grid)
+        l0_key=l0_key, l0_sum=l0_sum, l0_count=l0_count, l0_index=l0_index,
+        n_l0=n_l0,
+        l1_key=l1_key, l1_surfel=l1_surfel, l1_planarity=l1_planarity,
+        l1_children=l1_children, l1_child_count=l1_child_count,
+        l1_last_count=l1_last, l1_index=l1_index, n_l1=n_l1)
 
 
 @partial(jax.jit, static_argnames=("hierarchy_factor",))
 def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
                    hierarchy_factor: int = 3):
-    """Batched O(1) surfel query (reference GetSurfelAtPoint,
-    VoxelMap.cpp:368-386): ONE dense-grid gather + key verification.
+    """Batched surfel query (reference GetSurfelAtPoint,
+    VoxelMap.cpp:368-386): bounded hash probe + ONE packed row gather.
     Returns (normal (N,3), centroid (N,3), valid (N,))."""
     inv = 1.0 / (voxel_size * hierarchy_factor)
     coords = K.voxel_coords(pts, inv)
     qhi, qlo = K.pack_key(coords)
-    gidx = _grid_index(coords, L1_GRID)
-    slot = state.l1_grid[gidx]
-    c1 = state.l1_hi.shape[0]
+    slot = _probe(state.l1_index, state.l1_key, qhi, qlo)
+    c1 = state.l1_child_count.shape[0]
     slot_c = jnp.clip(slot, 0, c1 - 1)
-    hit = (slot >= 0) & K.key_eq(state.l1_hi[slot_c], state.l1_lo[slot_c], qhi, qlo)
-    valid = hit & state.l1_has_surfel[slot_c]
-    return state.l1_normal[slot_c], state.l1_centroid[slot_c], valid
+    row = state.l1_surfel[slot_c]
+    khi = jax.lax.bitcast_convert_type(row[:, 6], jnp.uint32)
+    klo = jax.lax.bitcast_convert_type(row[:, 7], jnp.uint32)
+    valid = (slot >= 0) & (khi == qhi) & (klo == qlo)
+    return row[:, 0:3], row[:, 3:6], valid
 
 
-@partial(jax.jit, static_argnames=("bucket_k",))
-def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size,
-                       bucket_k: int = 27):
-    """For each query point, gather the L0 centroids of its 3x3x3 voxel
-    neighborhood via the dense grid — the KD-tree-mode candidate set
-    (replaces nanoflann 5-NN, IterativeClosestPointOptimizer.cpp:696-703).
+@partial(jax.jit, static_argnames=())
+def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size):
+    """L0 centroids of each query's 3x3x3 voxel neighborhood (KD-tree-mode
+    candidates, replacing nanoflann 5-NN,
+    IterativeClosestPointOptimizer.cpp:696-703).
     Returns (neighbors (N, 27, 3), valid (N, 27))."""
     inv = 1.0 / voxel_size
     qc = K.voxel_coords(pts, inv)
-    offs = jnp.asarray(_CHILD_OFFS) - 1  # -1..1 cube
-    nb = qc[:, None, :] + offs[None, :, :]
+    nb = qc[:, None, :] + jnp.asarray(_NB_OFFS)[None, :, :]
     nhi, nlo = K.pack_key(nb)
-    gidx = _grid_index(nb, L0_GRID)
-    slot = state.l0_grid[gidx]
-    c0 = state.l0_hi.shape[0]
-    slot_c = jnp.clip(slot, 0, c0 - 1)
-    ok = (slot >= 0) & (state.l0_count[slot_c] > 0) \
-        & K.key_eq(state.l0_hi[slot_c], state.l0_lo[slot_c], nhi, nlo)
+    n, m = nhi.shape
+    slot = _probe(state.l0_index, state.l0_key, nhi.reshape(-1), nlo.reshape(-1))
+    c0 = state.l0_count.shape[0]
+    slot_c = jnp.clip(slot, 0, c0 - 1).reshape(n, m)
+    ok = (slot.reshape(n, m) >= 0) & (state.l0_count[slot_c] > 0)
     cen = state.l0_sum[slot_c] / jnp.maximum(
         state.l0_count[slot_c], 1)[..., None].astype(jnp.float32)
     return cen, ok
@@ -444,10 +491,9 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     """PGO correction: transform every L0 centroid, re-key, merge
     collisions by weighted centroid, recompute ALL surfels (reference
     ApplyTransformAndRehash + RecomputeAllSurfels, VoxelMap.cpp:264-366).
-    Rare op (per accepted loop closure): rebuilds both grids from scratch.
-    """
-    c0 = state.l0_hi.shape[0]
-    c1 = state.l1_hi.shape[0]
+    Rare op: full rebuild into a fresh map."""
+    c0 = state.l0_count.shape[0]
+    c1 = state.l1_child_count.shape[0]
     f32 = jnp.float32
     valid = state.l0_count > 0
     cnt_f = jnp.maximum(state.l0_count, 1)[:, None].astype(f32)
@@ -460,13 +506,13 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     inv = 1.0 / voxel_size
     coords = K.voxel_coords(new_centroid, inv)
     hi, lo = K.pack_key(coords)
-    gidx = _grid_index(coords, L0_GRID)
+    hi = jnp.where(valid, hi, K.INVALID_HI)
+    lo = jnp.where(valid, lo, K.INVALID_LO)
 
-    # Rebuild L0 from scratch: leader election merges collisions.
     fresh = empty_map(c0, c1)
-    grid, nhi, nlo, slot, _ = _allocate(
-        fresh.l0_grid, fresh.l0_hi, fresh.l0_lo,
-        jnp.zeros((c0,), bool), gidx, hi, lo, valid, free_cap=c0)
+    l0_index, l0_key, slot, _ = _insert_keys(
+        fresh.l0_index, fresh.l0_key, jnp.zeros((c0,), bool), hi, lo, valid,
+        free_cap=c0)
     placed = slot >= 0
     tgt = jnp.where(placed, slot, c0)
     l0_sum = fresh.l0_sum.at[tgt].add(
@@ -474,42 +520,41 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     l0_count = fresh.l0_count.at[tgt].add(
         jnp.where(placed, state.l0_count, 0), mode="drop")
     n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
-    state_l0 = (nhi, nlo, l0_sum, l0_count, grid)
 
-    # Rebuild L1: every occupied L0's parent is a candidate cell.
     par = K.parent_coords(coords, hierarchy_factor)
-    par_gidx = _grid_index(par, L1_GRID)
-    scratch = jnp.full((_l1_size(),), jnp.iinfo(jnp.int32).max, jnp.int32)
-    cell_list, src_list, n_cells = _compact_cells(scratch, par_gidx, placed, c1)
-    cmask = src_list >= 0
-    src_c = jnp.clip(src_list, 0, c0 - 1)
-    pcoords = par[src_c]
-    phi2, plo2 = K.pack_key(pcoords)
-    l1_grid, l1_hi, l1_lo, pslot, _ = _allocate(
-        fresh.l1_grid, fresh.l1_hi, fresh.l1_lo, jnp.zeros((c1,), bool),
-        jnp.clip(cell_list, 0, _l1_size() - 1), phi2, plo2, cmask, free_cap=c1)
-    pok = pslot >= 0
-    cnt, mean, cov, _, _ = _cell_children_stats(state_l0, pcoords, pok)
+    phi2, plo2 = K.pack_key(par)
+    phi2 = jnp.where(placed, phi2, K.INVALID_HI)
+    plo2 = jnp.where(placed, plo2, K.INVALID_LO)
+    l1_index, l1_key, par_slot, _ = _insert_keys(
+        fresh.l1_index, fresh.l1_key, jnp.zeros((c1,), bool), phi2, plo2,
+        placed, free_cap=c1)
+    ch_off = _child_offset_of(coords)
+    reg = placed & (par_slot >= 0)
+    l1_children = fresh.l1_children.at[
+        jnp.where(reg, par_slot, c1), jnp.where(reg, ch_off, 0)].set(
+        jnp.where(reg, slot, -1), mode="drop")
+
+    all_slots = jnp.arange(c1, dtype=jnp.int32)
+    occupied = jnp.zeros((c1,), bool).at[
+        jnp.where(reg, par_slot, c1)].max(True, mode="drop")
+    cnt, mean, cov, _, _ = _surfel_stats_from_children(
+        l0_key, l0_sum, l0_count, l1_children, l1_key, all_slots, occupied,
+        hierarchy_factor)
     lam, normal = eigh3.eigh3(cov)
     plan = lam[:, 0] / (lam[:, 2] + 1e-6)
-    has = pok & (cnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
-
-    wslot = jnp.where(pok, pslot, c1)
-    l1_child = fresh.l1_child_count.at[wslot].set(cnt, mode="drop")
-    l1_has = fresh.l1_has_surfel.at[wslot].set(has, mode="drop")
-    l1_normal = fresh.l1_normal.at[wslot].set(normal, mode="drop")
-    l1_centroid = fresh.l1_centroid.at[wslot].set(mean, mode="drop")
-    l1_plan = fresh.l1_planarity.at[wslot].set(plan, mode="drop")
-    l1_last = fresh.l1_last_count.at[wslot].set(cnt, mode="drop")
-    n_l1 = jnp.sum((l1_child > 0).astype(jnp.int32))
+    has = occupied & (cnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
+    key_cols = _key_f32(l1_key)
+    inval2 = jnp.full((c1, 2), _INVALID_KEY_F32, f32)
+    l1_surfel = jnp.concatenate(
+        [normal, mean, jnp.where(has[:, None], key_cols, inval2)], axis=-1)
+    n_l1 = jnp.sum((cnt > 0).astype(jnp.int32))
 
     return VoxelMapState(
-        l0_hi=nhi, l0_lo=nlo, l0_sum=l0_sum, l0_count=l0_count, n_l0=n_l0,
-        l0_grid=grid,
-        l1_hi=l1_hi, l1_lo=l1_lo, l1_normal=l1_normal,
-        l1_centroid=l1_centroid, l1_planarity=l1_plan, l1_has_surfel=l1_has,
-        l1_child_count=l1_child, l1_last_count=l1_last, n_l1=n_l1,
-        l1_grid=l1_grid)
+        l0_key=l0_key, l0_sum=l0_sum, l0_count=l0_count, l0_index=l0_index,
+        n_l0=n_l0,
+        l1_key=l1_key, l1_surfel=l1_surfel, l1_planarity=plan,
+        l1_children=l1_children, l1_child_count=cnt, l1_last_count=cnt,
+        l1_index=l1_index, n_l1=n_l1)
 
 
 def l0_points(state: VoxelMapState):

@@ -59,8 +59,7 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
                 R, t = lie.se3_rt(T_cur)
                 p_world = p @ R.T + t[None, :]
                 normal, centroid, hit = _local_lookup(
-                    st.l1_hi, st.l1_lo, st.l1_normal, st.l1_centroid,
-                    st.l1_has_surfel, st.l1_grid, p_world,
+                    st.l1_key, st.l1_surfel, st.l1_index, p_world,
                     cfg.voxel_size, cfg.hierarchy_factor, "map")
                 r = jnp.sum(normal * (p_world - centroid), axis=-1)
                 valid = hit & m & (jnp.abs(r) <= cfg.max_correspondence_distance)
