@@ -20,6 +20,8 @@ Layout (mirrors the reference layer map, SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # TPU matmuls default to bfloat16 operand precision; geometry (point
@@ -27,3 +29,9 @@ import jax as _jax
 # way. This framework's matmul volume is tiny (6-dim contractions), so
 # full float32 costs nothing measurable — force it globally.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: tunnel-attached TPU compiles are slow
+# (tens of seconds per program); cache them across processes.
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

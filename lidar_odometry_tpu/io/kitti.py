@@ -74,13 +74,75 @@ def save_trajectory_tum(path: str, poses: np.ndarray, rate_hz: float = 10.0):
 
 
 @dataclass
+class VelocityStats:
+    """reference analyze_velocity_statistics (kitti_player.cpp:759-811)."""
+    available: bool = False
+    linear_mean: float = 0.0
+    linear_max: float = 0.0
+    angular_mean: float = 0.0   # deg/s
+    angular_max: float = 0.0
+
+
+def velocity_statistics(poses: np.ndarray, rate_hz: float = 10.0) -> VelocityStats:
+    stats = VelocityStats()
+    if len(poses) < 2:
+        return stats
+    dt = 1.0 / rate_hz
+    lin, ang = [], []
+    for i in range(1, len(poses)):
+        dp = poses[i][:3, 3] - poses[i - 1][:3, 3]
+        lin.append(np.linalg.norm(dp) / dt)
+        R_rel = poses[i - 1][:3, :3].T @ poses[i][:3, :3]
+        c = np.clip((np.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)
+        ang.append(np.degrees(np.arccos(c)) / dt)
+    stats.available = True
+    stats.linear_mean = float(np.mean(lin))
+    stats.linear_max = float(np.max(lin))
+    stats.angular_mean = float(np.mean(ang))
+    stats.angular_max = float(np.max(ang))
+    return stats
+
+
+@dataclass
 class KittiPlayerResult:
     frames_processed: int = 0
     total_time_s: float = 0.0
     fps: float = 0.0
     error_stats: Optional[ErrorStats] = None
+    velocity_stats: Optional[VelocityStats] = None
     trajectory_path: str = ""
+    statistics_path: str = ""
     per_frame_ms: List[float] = field(default_factory=list)
+
+
+def save_statistics(path: str, result: "KittiPlayerResult", seq: str):
+    """Run-statistics file (reference save_statistics,
+    kitti_player.cpp:813-890)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("=== lidar_odometry_tpu run statistics ===\n")
+        f.write(f" Sequence: {seq}\n")
+        f.write(f" Frames processed: {result.frames_processed}\n")
+        f.write(f" Total time: {result.total_time_s:.2f} s\n")
+        f.write(f" Average FPS: {result.fps:.2f}\n")
+        if result.per_frame_ms:
+            arr = np.asarray(result.per_frame_ms)
+            f.write(f" Frame time avg/min/max: {arr.mean():.2f} / "
+                    f"{arr.min():.2f} / {arr.max():.2f} ms\n")
+        if result.error_stats and result.error_stats.available:
+            s = result.error_stats
+            f.write(f" ATE RMSE: {s.ate_rmse:.4f} m\n")
+            f.write(f" ATE mean/median: {s.ate_mean:.4f} / {s.ate_median:.4f} m\n")
+            f.write(f" Translation error: {s.translation_mean:.3f} %\n")
+            f.write(f" Rotation error: {s.rotation_mean:.5f} deg/100m\n")
+            f.write(f" Segments evaluated: {s.total_segments}\n")
+            f.write(f" Scale factor: {s.scale_factor:.6f}\n")
+        if result.velocity_stats and result.velocity_stats.available:
+            v = result.velocity_stats
+            f.write(f" Linear velocity avg/max: {v.linear_mean:.2f} / "
+                    f"{v.linear_max:.2f} m/s\n")
+            f.write(f" Angular velocity avg/max: {v.angular_mean:.2f} / "
+                    f"{v.angular_max:.2f} deg/s\n")
 
 
 class KittiPlayer:
@@ -151,6 +213,13 @@ class KittiPlayer:
             s = result.error_stats
             log.info("[KittiPlayer] ATE RMSE {:.3f} m | trans {:.2f}% | rot {:.3f} deg/100m",
                      s.ate_rmse, s.translation_mean, s.rotation_mean)
+        result.velocity_stats = velocity_statistics(traj)
+
+        if self.cfg.enable_statistics and self.cfg.output_directory:
+            result.statistics_path = os.path.join(
+                self.cfg.output_directory, self.cfg.seq,
+                f"{self.cfg.seq}_statistics.txt")
+            save_statistics(result.statistics_path, result, self.cfg.seq)
         self.estimator.shutdown()
         return result
 

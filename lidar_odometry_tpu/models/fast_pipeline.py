@@ -28,7 +28,8 @@ from ..ops import voxel_filter as vf
 from ..ops import voxel_map as vm
 from ..utils import lie
 
-__all__ = ["OdomCarry", "init_carry", "make_chunk_runner"]
+__all__ = ["OdomCarry", "init_carry", "make_chunk_runner",
+           "init_batched_carry", "make_batched_chunk_runner"]
 
 
 class OdomCarry(NamedTuple):
@@ -49,15 +50,27 @@ def init_carry(c0: int, c1: int) -> OdomCarry:
 
 
 def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
-                      *, scan_voxel_size: float, point_stride: int,
-                      scan_capacity: int, keyframe_distance: float,
-                      keyframe_rotation: float, max_distance: float,
-                      planarity_threshold: float,
-                      compute_surfels: bool = True):
+                      **kw):
     """Build chunk(carry, scans (F, N, 3)) -> (carry, (poses (F,4,4),
     is_kf (F,), n_corr (F,))). Scans are raw padded clouds; pad slots must
     be non-finite (NaN) so the voxel filter drops them
     (reference semantics: Estimator.cpp:561-589 preprocess + :116-233)."""
+    frame_step = _make_frame_step(icp_cfg, pko_consts, masked_update=False, **kw)
+
+    @jax.jit
+    def chunk(carry: OdomCarry, scans):
+        return jax.lax.scan(frame_step, carry, scans)
+
+    return chunk
+
+
+def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
+                     *, scan_voxel_size: float, point_stride: int,
+                     scan_capacity: int, keyframe_distance: float,
+                     keyframe_rotation: float, max_distance: float,
+                     planarity_threshold: float,
+                     compute_surfels: bool = True,
+                     masked_update: bool = False):
 
     def frame_step(carry: OdomCarry, raw_scan):
         feat, mask, _ = vf.voxel_filter(
@@ -89,16 +102,30 @@ def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstan
         angle = jnp.arccos(cos_t)
         is_kf = (~carry.initialized) | (dist > keyframe_distance) | (angle > keyframe_rotation)
 
-        def do_update(ms):
+        if masked_update:
+            # vmap-friendly path: run the update unconditionally but make a
+            # non-keyframe a no-op (no inserts; eviction disabled by an
+            # infinite radius). Same semantics as the cond, select-safe.
             world = lie.transform_points(T, feat)
-            return vm.update_map(
-                ms, world, mask, T[:3, 3], max_distance,
+            map_state = vm.update_map(
+                carry.map_state, world, mask & is_kf, T[:3, 3],
+                jnp.where(is_kf, jnp.float32(max_distance), jnp.float32(1e30)),
                 voxel_size=icp_cfg.voxel_size,
                 planarity_threshold=planarity_threshold,
                 hierarchy_factor=icp_cfg.hierarchy_factor,
                 compute_surfels=compute_surfels)
+        else:
+            def do_update(ms):
+                world = lie.transform_points(T, feat)
+                return vm.update_map(
+                    ms, world, mask, T[:3, 3], max_distance,
+                    voxel_size=icp_cfg.voxel_size,
+                    planarity_threshold=planarity_threshold,
+                    hierarchy_factor=icp_cfg.hierarchy_factor,
+                    compute_surfels=compute_surfels)
 
-        map_state = jax.lax.cond(is_kf, do_update, lambda ms: ms, carry.map_state)
+            map_state = jax.lax.cond(is_kf, do_update, lambda ms: ms,
+                                     carry.map_state)
 
         new_carry = OdomCarry(
             map_state=map_state, T_prev=T, velocity=velocity,
@@ -107,8 +134,33 @@ def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstan
             kf_count=carry.kf_count + is_kf.astype(jnp.int32))
         return new_carry, (T, is_kf, n_corr)
 
+    return frame_step
+
+
+def init_batched_carry(batch: int, c0: int, c1: int) -> OdomCarry:
+    one = init_carry(c0, c1)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), one)
+
+
+def make_batched_chunk_runner(icp_cfg: icp_ops.ICPConfig,
+                              pko_consts: pko_ops.PKOConstants, **kw):
+    """Multi-sequence throughput mode: the whole frame step vmapped over a
+    leading batch of independent sequences (the data-parallel axis of
+    SURVEY.md §2.4, on one chip). Under vmap, lax.cond becomes a select
+    that executes the map update every frame, so the update is made
+    semantically keyframe-only by masking its inputs (a non-keyframe
+    inserts nothing and evicts nothing) rather than by branching.
+
+    chunk(carry_B, scans (B, F, N, 3)) -> (carry_B, (poses (B, F, 4, 4),
+    is_kf (B, F), n_corr (B, F))).
+    """
+    inner = _make_frame_step(icp_cfg, pko_consts, masked_update=True, **kw)
+
     @jax.jit
     def chunk(carry: OdomCarry, scans):
-        return jax.lax.scan(frame_step, carry, scans)
+        def scan_one(c, xs):
+            return jax.lax.scan(inner, c, xs)
+        return jax.vmap(scan_one)(carry, scans)
 
     return chunk

@@ -104,9 +104,10 @@ class VoxelMapState(NamedTuple):
     n_l0: jax.Array         # () i32
     # L1 parent slots
     l1_key: jax.Array       # (C1, 2) uint32
-    l1_surfel: jax.Array    # (C1, 8) f32 [normal(3) | centroid(3) | key(2)]
-    #   key cols mirror l1_key when has_surfel, else INVALID — one row
-    #   gather answers both existence and payload.
+    l1_surfel: jax.Array    # (C1, 8) f32 [normal(3) | centroid(3) |
+    #   planarity | has_flag]. Keys must NOT be stored as bitcast floats:
+    #   TPU float selects flush denormal/NaN bit patterns. The hash probe
+    #   verifies keys from l1_key (uint32); col 7 > 0.5 marks a surfel.
     l1_planarity: jax.Array  # (C1,)
     l1_children: jax.Array  # (C1, 27) i32 child slot ids (-1 empty)
     l1_child_count: jax.Array  # (C1,) i32 (0 = free slot)
@@ -115,19 +116,10 @@ class VoxelMapState(NamedTuple):
     n_l1: jax.Array         # () i32
 
 
-_INVALID_KEY_F32 = np.frombuffer(
-    np.asarray([0xFFFFFFFF], np.uint32).tobytes(), np.float32)[0]
-
-
-def _key_f32(keys2: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(keys2, jnp.float32)
-
-
 def empty_map(c0: int, c1: int) -> VoxelMapState:
     u = jnp.uint32
     inval = jnp.asarray([K.INVALID_HI, K.INVALID_LO], dtype=u)
     surfel = jnp.zeros((c1, 8), jnp.float32)
-    surfel = surfel.at[:, 6:].set(_INVALID_KEY_F32)
     return VoxelMapState(
         l0_key=jnp.broadcast_to(inval, (c0, 2)).copy(),
         l0_sum=jnp.zeros((c0, 3), jnp.float32),
@@ -351,6 +343,9 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         nphi, nplo, new_mask & placed, free_cap=AFFECTED_CAP)
     l1_children = l1_children.at[jnp.where(l1_new, par_slot, c1)].set(
         -1, mode="drop")
+    # a reallocated slot must not inherit the previous occupant's surfel
+    l1_surfel_work = state.l1_surfel.at[
+        jnp.where(l1_new, par_slot, c1), 7].set(0.0, mode="drop")
     ch_off = _child_offset_of(pcoords)
     reg = l0_new & (par_slot >= 0)
     l1_children = l1_children.at[
@@ -381,12 +376,11 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         l0_key, l0_sum, l0_count, l1_children, cell_key, aff_slot, aff_ok,
         hierarchy_factor)
 
-    srow = state.l1_surfel[aff_slot_c]
-    prev_has = (jax.lax.bitcast_convert_type(srow[:, 6], jnp.uint32) == cell_key[:, 0]) \
-        & (jax.lax.bitcast_convert_type(srow[:, 7], jnp.uint32) == cell_key[:, 1])
+    srow = l1_surfel_work[aff_slot_c]
+    prev_has = aff_ok & (srow[:, 7] > 0.5)
     prev_last = state.l1_last_count[aff_slot_c]
 
-    l1_surfel = state.l1_surfel
+    l1_surfel = l1_surfel_work
     l1_planarity = state.l1_planarity
     l1_last = state.l1_last_count
 
@@ -421,12 +415,12 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # ---- Step 6: write back affected cells ----
     wslot = jnp.where(aff_ok, aff_slot, c1)
     l1_child_count = state.l1_child_count.at[wslot].set(cnt, mode="drop")
-    key_cols = _key_f32(cell_key)
-    inval2 = jnp.full((AFFECTED_CAP, 2), _INVALID_KEY_F32, f32)
     keep_payload = jnp.where(use_new[:, None], jnp.concatenate([normal, mean], axis=-1),
                              srow[:, :6])
     rows = jnp.concatenate(
-        [keep_payload, jnp.where(has_out[:, None], key_cols, inval2)], axis=-1)
+        [keep_payload[:, :6],
+         jnp.where(use_new, plan, srow[:, 6])[:, None],
+         has_out.astype(f32)[:, None]], axis=-1)
     l1_surfel = l1_surfel.at[wslot].set(rows, mode="drop")
     l1_planarity = l1_planarity.at[jnp.where(use_new, wslot, c1)].set(
         plan, mode="drop")
@@ -458,9 +452,7 @@ def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
     c1 = state.l1_child_count.shape[0]
     slot_c = jnp.clip(slot, 0, c1 - 1)
     row = state.l1_surfel[slot_c]
-    khi = jax.lax.bitcast_convert_type(row[:, 6], jnp.uint32)
-    klo = jax.lax.bitcast_convert_type(row[:, 7], jnp.uint32)
-    valid = (slot >= 0) & (khi == qhi) & (klo == qlo)
+    valid = (slot >= 0) & (row[:, 7] > 0.5)
     return row[:, 0:3], row[:, 3:6], valid
 
 
@@ -543,10 +535,8 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     lam, normal = eigh3.eigh3(cov)
     plan = lam[:, 0] / (lam[:, 2] + 1e-6)
     has = occupied & (cnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
-    key_cols = _key_f32(l1_key)
-    inval2 = jnp.full((c1, 2), _INVALID_KEY_F32, f32)
     l1_surfel = jnp.concatenate(
-        [normal, mean, jnp.where(has[:, None], key_cols, inval2)], axis=-1)
+        [normal, mean, plan[:, None], has.astype(f32)[:, None]], axis=-1)
     n_l1 = jnp.sum((cnt > 0).astype(jnp.int32))
 
     return VoxelMapState(

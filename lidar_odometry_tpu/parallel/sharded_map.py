@@ -79,9 +79,7 @@ def _local_lookup(l1_key_shard, l1_surfel_shard, l1_index_full, pts,
         local_slot = jnp.where(ok, local, local_slot)
         hit = hit | ok
     row = l1_surfel_shard[jnp.clip(local_slot, 0, shard - 1)]
-    khi = jax.lax.bitcast_convert_type(row[:, 6], jnp.uint32)
-    klo = jax.lax.bitcast_convert_type(row[:, 7], jnp.uint32)
-    valid = hit & (khi == qhi) & (klo == qlo)
+    valid = hit & (row[:, 7] > 0.5)  # probe already verified the key
     normal = jnp.where(valid[:, None], row[:, 0:3], 0.0)
     centroid = jnp.where(valid[:, None], row[:, 3:6], 0.0)
     return normal, centroid, valid
