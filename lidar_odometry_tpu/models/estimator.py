@@ -149,6 +149,8 @@ class Estimator:
         self.timing_history: List[TimingStats] = []
         self.frame_count = 0
         self.loop_constraint_count = 0
+        self._chunk_runner = None
+        self._chunk_carry = None
 
     # ------------------------------------------------------------------
     # Main pipeline
@@ -262,12 +264,16 @@ class Estimator:
         out[:3, :3] = R
         return out
 
-    def _create_keyframe(self, feat, mask, frame: FrameRecord):
-        """reference create_keyframe (Estimator.cpp:370-530)."""
+    def _create_keyframe(self, feat, mask, frame: FrameRecord,
+                         pose: Optional[np.ndarray] = None,
+                         update_map: bool = True):
+        """reference create_keyframe (Estimator.cpp:370-530). With
+        update_map=False only the bookkeeping runs (the fused chunk mode
+        already updated the map on device)."""
         kf_id = self.next_keyframe_id
         self.next_keyframe_id += 1
 
-        pose = self.T_current.astype(np.float32)
+        pose = (self.T_current if pose is None else pose).astype(np.float32)
         if self.keyframes:
             prev = self.keyframes[-1]
             rel_raw = np.linalg.inv(prev.stored_pose) @ pose
@@ -295,17 +301,18 @@ class Estimator:
         frame.kf_ref = len(self.keyframes) - 1
         frame.relative_pose = np.eye(4, dtype=np.float32)
 
-        # Map update with world-frame features (Estimator.cpp:449-457)
-        world = lie.transform_points(jnp.asarray(pose), feat)
-        sensor = jnp.asarray(pose[:3, 3])
-        self.map_state = vm.update_map(
-            self.map_state, world, mask, sensor,
-            self.cfg.max_range * 1.2,
-            voxel_size=self.cfg.map_voxel_size,
-            planarity_threshold=self.cfg.surfel_planarity_threshold,
-            hierarchy_factor=self.cfg.derived_hierarchy_factor(),
-            compute_surfels=self.cfg.use_surfel_correspondence)
-        # (KDTree mode needs no rebuild: the sorted L0 table IS the index.)
+        if update_map:
+            # Map update with world-frame features (Estimator.cpp:449-457)
+            world = lie.transform_points(jnp.asarray(pose), feat)
+            sensor = jnp.asarray(pose[:3, 3])
+            self.map_state = vm.update_map(
+                self.map_state, world, mask, sensor,
+                self.cfg.max_range * 1.2,
+                voxel_size=self.cfg.map_voxel_size,
+                planarity_threshold=self.cfg.surfel_planarity_threshold,
+                hierarchy_factor=self.cfg.derived_hierarchy_factor(),
+                compute_surfels=self.cfg.use_surfel_correspondence)
+            # (KDTree mode needs no rebuild: the hash index IS the tree.)
 
         self.last_keyframe_pose = pose
 
@@ -320,6 +327,79 @@ class Estimator:
                     with self._query_cv:
                         self._query_queue.append(kf_id)
                         self._query_cv.notify()
+
+    # ------------------------------------------------------------------
+    # Fused chunk mode: device-side odometry for a whole chunk of frames
+    # per dispatch (models/fast_pipeline.py), with keyframe bookkeeping,
+    # loop closure, and PGO reconciled on the host between chunks.
+    # ------------------------------------------------------------------
+
+    def process_chunk(self, raw_scans: np.ndarray) -> bool:
+        """Process (F, N, 3) scans in one device dispatch. Pad slots must
+        be NaN. Semantically equivalent to F process_frame calls with loop
+        detection deferred to the chunk boundary (the background thread is
+        at keyframe-latency anyway, reference Estimator.cpp:890-913)."""
+        from . import fast_pipeline as fp
+
+        t_start = time.perf_counter()
+        if self._chunk_runner is None:
+            self._chunk_runner = fp.make_chunk_runner(
+                self.icp_cfg, self.pko_consts,
+                scan_voxel_size=self.cfg.voxel_size,
+                point_stride=self.cfg.point_stride,
+                scan_capacity=self.cfg.scan_capacity,
+                keyframe_distance=self.cfg.keyframe_distance_threshold,
+                keyframe_rotation=self.cfg.keyframe_rotation_threshold,
+                max_distance=self.cfg.max_range * 1.2,
+                planarity_threshold=self.cfg.surfel_planarity_threshold,
+                compute_surfels=self.cfg.use_surfel_correspondence)
+
+        self._apply_pending_pgo_result_if_available()
+        carry = fp.OdomCarry(
+            map_state=self.map_state,
+            T_prev=jnp.asarray(self._prev_pose),
+            velocity=jnp.asarray(self.velocity),
+            last_kf_pose=jnp.asarray(self.last_keyframe_pose),
+            initialized=jnp.bool_(self.initialized),
+            kf_count=jnp.int32(self.next_keyframe_id))
+
+        scans_dev = jnp.asarray(np.ascontiguousarray(raw_scans, np.float32))
+        carry, (poses, is_kf, n_corr) = self._chunk_runner(carry, scans_dev)
+        poses = np.asarray(poses)
+        is_kf = np.asarray(is_kf)
+
+        self.map_state = carry.map_state
+        self.T_current = self._normalize_rotation(np.asarray(carry.T_prev))
+        self.velocity = np.asarray(carry.velocity)
+        self.last_keyframe_pose = np.asarray(carry.last_kf_pose)
+        self._prev_pose = self.T_current
+        self.initialized = True
+
+        # host bookkeeping per frame (FrameRecord / KeyframeRecord / PGO /
+        # loop queries) — mirrors the per-frame path
+        for f in range(len(poses)):
+            pose = self._normalize_rotation(poses[f]).astype(np.float32)
+            if is_kf[f]:
+                feat, mask, _ = self._preprocess(raw_scans[f], len(raw_scans[f]))
+                frame = FrameRecord(kf_ref=-1, relative_pose=np.eye(4, dtype=np.float32),
+                                    is_keyframe=False)
+                self.frames.append(frame)
+                self._create_keyframe(feat, mask, frame, pose=pose,
+                                      update_map=False)
+            else:
+                kf_ref = len(self.keyframes) - 1
+                rel = (np.linalg.inv(self.keyframes[kf_ref].stored_pose) @ pose
+                       if kf_ref >= 0 else np.eye(4))
+                self.frames.append(FrameRecord(
+                    kf_ref=kf_ref, relative_pose=rel.astype(np.float32),
+                    is_keyframe=False))
+            self.frame_count += 1
+        # keep the keyframe-pose base consistent with the device carry
+        self.last_keyframe_pose = np.asarray(carry.last_kf_pose)
+
+        timing = TimingStats(total_ms=(time.perf_counter() - t_start) * 1e3)
+        self.timing_history.append(timing)
+        return True
 
     # ------------------------------------------------------------------
     # Loop closure + PGO (reference Estimator.cpp:890-1137)

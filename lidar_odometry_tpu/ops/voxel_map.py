@@ -59,7 +59,7 @@ MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 # drop the point (bounded, like every other capacity in this design).
 INDEX_FACTOR = 4
 N_PROBES = 4
-INSERT_RETRIES = 3
+INSERT_RETRIES = 2
 
 # Static caps for per-update candidate lists.
 AFFECTED_CAP = 8192
@@ -178,7 +178,9 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
     allocated = jnp.zeros((n,), bool)
 
     for _retry in range(INSERT_RETRIES):
-        # phase 1: find existing
+        # fused scan over probe rounds: find the existing key AND the first
+        # reusable cell (empty, or pointing at a dead slot) in one pass
+        claim_pos = jnp.full((n,), -1, jnp.int32)
         for r in range(N_PROBES):
             pos = _hash_cell(qhi, qlo, h1m, r)
             cand = index[pos]
@@ -187,17 +189,9 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
             hit = (cand >= 0) & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~resolved
             slot = jnp.where(hit, cand, slot)
             resolved = resolved | hit
-
-        # phase 2: first reusable cell (empty, or dead slot)
-        claim_pos = jnp.full((n,), -1, jnp.int32)
-        for r in range(N_PROBES - 1, -1, -1):
-            pos = _hash_cell(qhi, qlo, h1m, r)
-            cand = index[pos]
-            cand_c = jnp.clip(cand, 0, c - 1)
-            k = key_tbl[cand_c]
             dead = (cand >= 0) & (k[:, 0] == K.INVALID_HI) & (k[:, 1] == K.INVALID_LO)
             reusable = (cand < 0) | dead
-            claim_pos = jnp.where(reusable & ~resolved, pos, claim_pos)
+            claim_pos = jnp.where(reusable & (claim_pos < 0), pos, claim_pos)
 
         want = ~resolved & (claim_pos >= 0)
         marker = jnp.full((index.shape[0],), BIG, jnp.int32)
@@ -215,6 +209,18 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
         slot = jnp.where(can, new_slot, slot)
         resolved = resolved | can
         allocated = allocated | can
+
+        # same-cell recheck: duplicates of a just-allocated key re-read the
+        # cell they contended for and resolve immediately (cheaper than a
+        # whole extra retry; only cross-key collisions remain unresolved)
+        cp_c = jnp.clip(claim_pos, 0, index.shape[0] - 1)
+        cand2 = index[cp_c]
+        cand2_c = jnp.clip(cand2, 0, c - 1)
+        k2 = key_tbl[cand2_c]
+        hit2 = (claim_pos >= 0) & (cand2 >= 0) \
+            & (k2[:, 0] == qhi) & (k2[:, 1] == qlo) & ~resolved
+        slot = jnp.where(hit2, cand2, slot)
+        resolved = resolved | hit2
 
     return index, key_tbl, slot, allocated
 
@@ -297,26 +303,36 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     keep = valid0 & ~evict
 
     # evicted voxels leave their parents' child lists (the parents appear
-    # in the affected set below so their counts/surfels refresh)
-    ev_list, _ = _compact_mask(evict, EVICT_CAP)
-    ev_ok = ev_list >= 0
-    ev_slot = jnp.clip(ev_list, 0, c0 - 1)
-    ekey = state.l0_key[ev_slot]
-    ev_coords = K.unpack_key(ekey[:, 0], ekey[:, 1])
-    ev_par = K.parent_coords(ev_coords, hierarchy_factor)
-    ephi, eplo = K.pack_key(ev_par)
-    ep_slot = _probe(state.l1_index, state.l1_key,
-                     jnp.where(ev_ok, ephi, K.INVALID_HI),
-                     jnp.where(ev_ok, eplo, K.INVALID_LO))
-    ev_off = _child_offset_of(ev_coords)
-    has_par = ev_ok & (ep_slot >= 0)
-    l1_children = state.l1_children.at[
-        jnp.where(has_par, ep_slot, c1), jnp.where(has_par, ev_off, 0)].set(
-        -1, mode="drop")
+    # in the affected set below so their counts/surfels refresh). The whole
+    # path is skipped when nothing evicts (scalar cond — common when the
+    # sensor barely moved since the last keyframe).
+    def do_evict(_):
+        ev_list, _n = _compact_mask(evict, EVICT_CAP)
+        ev_ok = ev_list >= 0
+        ev_slot = jnp.clip(ev_list, 0, c0 - 1)
+        ekey = state.l0_key[ev_slot]
+        ev_coords = K.unpack_key(ekey[:, 0], ekey[:, 1])
+        ev_par = K.parent_coords(ev_coords, hierarchy_factor)
+        ephi, eplo = K.pack_key(ev_par)
+        ep_slot = _probe(state.l1_index, state.l1_key,
+                         jnp.where(ev_ok, ephi, K.INVALID_HI),
+                         jnp.where(ev_ok, eplo, K.INVALID_LO))
+        ev_off = _child_offset_of(ev_coords)
+        has_par = ev_ok & (ep_slot >= 0)
+        ch = state.l1_children.at[
+            jnp.where(has_par, ep_slot, c1), jnp.where(has_par, ev_off, 0)].set(
+            -1, mode="drop")
+        kk = jnp.where(keep[:, None], state.l0_key, INVAL)
+        ss = jnp.where(keep[:, None], state.l0_sum, 0.0)
+        cc = jnp.where(keep, state.l0_count, 0)
+        return ch, kk, ss, cc, jnp.where(has_par, ep_slot, -1)
 
-    l0_key = jnp.where(keep[:, None], state.l0_key, INVAL)
-    l0_sum = jnp.where(keep[:, None], state.l0_sum, 0.0)
-    l0_count = jnp.where(keep, state.l0_count, 0)
+    def no_evict(_):
+        return (state.l1_children, state.l0_key, state.l0_sum, state.l0_count,
+                jnp.full((EVICT_CAP,), -1, jnp.int32))
+
+    l1_children, l0_key, l0_sum, l0_count, evpar_slots = jax.lax.cond(
+        jnp.any(evict), do_evict, no_evict, None)
 
     # ---- Step 2: insert new points (AddPoint, VoxelMap.cpp:99-120) ----
     inv = 1.0 / voxel_size
@@ -353,7 +369,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         jnp.where(reg, slot, -1), mode="drop")
 
     # ---- Step 4: affected set = parents of new points + evicted parents ----
-    cand_slot = jnp.concatenate([par_slot, jnp.where(has_par, ep_slot, -1)])
+    cand_slot = jnp.concatenate([par_slot, evpar_slots])
     cand_isnew = jnp.concatenate([jnp.ones((p,), bool), jnp.zeros((EVICT_CAP,), bool)])
     cand_ok = cand_slot >= 0
     nidx = jnp.arange(cand_slot.shape[0], dtype=jnp.int32)
