@@ -108,7 +108,9 @@ class Estimator:
             config.gmm_sample_size)
 
         self.map_state = vm.empty_map(config.map_l0_capacity, config.map_l1_capacity)
-        self.pose_graph = PoseGraphOptimizer()
+        self.pose_graph = PoseGraphOptimizer(
+            backend=("distributed" if config.pgo_backend == "distributed"
+                     else "manual"))
         self.loop_detector = LoopClosureDetector(
             LoopClosureConfig(
                 enable_loop_detection=config.enable_loop_detection,

@@ -143,15 +143,25 @@ class PoseGraphOptimizer:
     """Incremental-build, batch-solve pose graph (reference public API at
     PoseGraphOptimizer.h:91-106). Thread-safe like the reference (a mutex
     guards the graph; the estimator's background loop thread calls
-    add_loop_and_optimize while the main thread adds odometry)."""
+    add_loop_and_optimize while the main thread adds odometry).
 
-    def __init__(self):
+    backend="manual": scipy sparse LDLT-style solve (the reference's
+    SimplicialLDLT analog). backend="distributed": the chain+loops
+    structure is linearized into block-tridiagonal + separator form and
+    solved by the Schur-complement partitioned solver
+    (parallel/distributed_pgo.py) — the multi-host solve path, also
+    runnable on one device.
+    """
+
+    def __init__(self, backend: str = "manual", n_blocks: int = 8):
         self._priors: List[PriorFactor] = []
         self._betweens: List[BetweenFactor] = []
         self._poses: Dict[int, np.ndarray] = {}
         self._keyframe_ids: List[int] = []
         self._kf_to_index: Dict[int, int] = {}
         self._lock = threading.Lock()
+        self.backend = backend
+        self.n_blocks = n_blocks
         self.loop_closure_count = 0
         self.odometry_count = 0
 
@@ -270,12 +280,15 @@ class PoseGraphOptimizer:
         if n_vars == 0:
             return True
         for _ in range(max_iterations):
-            H, b = self._build_linear_system(n_vars)
-            try:
-                dx = spla.spsolve(H, b)
-            except Exception:
-                return False
-            if not np.all(np.isfinite(dx)):
+            if self.backend == "distributed" and n_vars >= 4:
+                dx = self._solve_distributed(n_vars)
+            else:
+                H, b = self._build_linear_system(n_vars)
+                try:
+                    dx = spla.spsolve(H, b)
+                except Exception:
+                    return False
+            if dx is None or not np.all(np.isfinite(dx)):
                 return False
             for i, kf_id in enumerate(self._keyframe_ids):
                 delta = dx[i * 6: i * 6 + 6]  # [rot, trans]
@@ -290,3 +303,56 @@ class PoseGraphOptimizer:
             if np.linalg.norm(dx) < convergence_threshold:
                 return True
         return False
+
+    def _solve_distributed(self, n_vars):
+        """Linearize into block-tridiagonal + separator-loop form and run
+        the Schur-complement partitioned solve. Odometry between factors
+        couple consecutive indices (the SLAM chain); loop factors couple
+        separators chosen by the partition planner."""
+        from ..parallel import distributed_pgo as dpgo
+
+        diag = np.zeros((n_vars, 6, 6))
+        off = np.zeros((max(n_vars - 1, 1), 6, 6))
+        b = np.zeros((n_vars, 6))
+        loop_edges = []
+        loop_blocks = []
+
+        for prior in self._priors:
+            kf_id = self._keyframe_ids[prior.key]
+            err, J = prior_error(self._poses[kf_id], prior.measured)
+            Jw = prior.sqrt_info @ J
+            ew = prior.sqrt_info @ err
+            diag[prior.key] += Jw.T @ Jw
+            b[prior.key] -= Jw.T @ ew
+
+        for bt in self._betweens:
+            i, j = bt.key_from, bt.key_to
+            kf_i = self._keyframe_ids[i]
+            kf_j = self._keyframe_ids[j]
+            err, J_from, J_to = between_error(
+                self._poses[kf_i], self._poses[kf_j], bt.measured)
+            Jw_f = bt.sqrt_info @ J_from
+            Jw_t = bt.sqrt_info @ J_to
+            ew = bt.sqrt_info @ err
+            diag[i] += Jw_f.T @ Jw_f
+            diag[j] += Jw_t.T @ Jw_t
+            b[i] -= Jw_f.T @ ew
+            b[j] -= Jw_t.T @ ew
+            lo, hi = (i, j) if i < j else (j, i)
+            Hij = Jw_f.T @ Jw_t if i < j else Jw_t.T @ Jw_f
+            if hi == lo + 1:
+                off[lo] += Hij
+            else:
+                # off-band edge: its diagonal parts are already in diag;
+                # pass only the coupling block (diag contributions zeroed)
+                loop_edges.append((lo, hi))
+                loop_blocks.append((np.zeros((6, 6)), Hij, np.zeros((6, 6))))
+
+        seps = dpgo.plan_partition(n_vars, min(self.n_blocks, max(n_vars // 2, 1)),
+                                   loop_edges)
+        try:
+            x = dpgo.schur_partitioned_solve(
+                diag, off, b, seps, loop_edges, loop_blocks)
+        except Exception:
+            return None
+        return np.asarray(x).reshape(-1)

@@ -97,3 +97,27 @@ def test_first_keyframe_prior_pins_origin():
     opt.add_loop_and_optimize(0, 1, _pose(1, 0, 0), 1.0, 1.0)
     got = opt.get_all_optimized_poses()
     np.testing.assert_allclose(got[0][:3, 3], 0, atol=1e-6)
+
+
+def test_distributed_backend_matches_manual():
+    def build(backend):
+        opt = pg.PoseGraphOptimizer(backend=backend, n_blocks=4)
+        true_poses = [_pose(x=float(i)) for i in range(24)]
+        cur = np.eye(4)
+        noisy = [cur.copy()]
+        opt.add_first_keyframe(0, noisy[0])
+        for i in range(1, 24):
+            rel_true = np.linalg.inv(true_poses[i - 1]) @ true_poses[i]
+            rel_noisy = rel_true.copy()
+            rel_noisy[1, 3] += 0.03
+            cur = cur @ rel_noisy
+            noisy.append(cur.copy())
+            opt.add_keyframe_with_odom(i - 1, i, noisy[i], rel_noisy, 1.0, 1.0)
+        rel_loop = np.linalg.inv(true_poses[3]) @ true_poses[20]
+        assert opt.add_loop_and_optimize(3, 20, rel_loop, 1.0, 1.0)
+        return opt.get_all_optimized_poses()
+
+    manual = build("manual")
+    dist = build("distributed")
+    for k in manual:
+        np.testing.assert_allclose(dist[k], manual[k], atol=1e-4)
