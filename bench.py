@@ -96,7 +96,18 @@ def main():
     if err > 0.5:
         print(f"# WARNING: accuracy degraded (ATE {err:.3f} m)", file=sys.stderr)
 
-    # ---- batched throughput (B independent sequences) ----
+    # ---- batched throughput (B independent sequences; opt-in: the
+    # masked per-frame map update makes this mode slower until updates
+    # are ~10x cheaper — see PROGRESS notes) ----
+    if not os.environ.get("BENCH_BATCHED"):
+        print(json.dumps({
+            "metric": "scans_per_sec_per_chip",
+            "value": round(single_fps, 1),
+            "unit": "scans/s",
+            "vs_baseline": round(single_fps / 400.0, 3),
+        }))
+        return
+
     batched = fp.make_batched_chunk_runner(icp_cfg, consts, **kw)
     seq_scans = [scans_np]
     seq_poses = [gt_poses]

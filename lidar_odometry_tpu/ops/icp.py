@@ -182,8 +182,8 @@ def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
     validity mask; T_init — initial world pose guess (4,4).
     Returns (T_opt, success, n_correspondences).
     """
-    def body(i, carry):
-        T, done, scale, n_corr, failed = carry
+    def body(carry):
+        i, T, done, scale, n_corr, failed = carry
 
         if cfg.use_surfel_correspondence:
             normals, q, valid, r_abs = _surfel_correspondences(
@@ -214,11 +214,17 @@ def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
         done_out = done | insufficient | (step_active & converged)
         failed_out = failed | (~done & insufficient)
         n_corr_out = jnp.where(step_active, count, n_corr)
-        return (T_out, done_out, new_scale, n_corr_out, failed_out)
+        return (i + 1, T_out, done_out, new_scale, n_corr_out, failed_out)
 
-    init = (T_init, jnp.bool_(False), jnp.float32(1.0), jnp.int32(0), jnp.bool_(False))
-    T, done, scale, n_corr, failed = jax.lax.fori_loop(
-        0, cfg.max_iterations, body, init)
+    def cond(carry):
+        i, _T, done, _scale, _n, _failed = carry
+        # early exit once converged/failed — the reference breaks out of
+        # its iteration loop the same way (:446-448)
+        return (i < cfg.max_iterations) & ~done
+
+    init = (jnp.int32(0), T_init, jnp.bool_(False), jnp.float32(1.0),
+            jnp.int32(0), jnp.bool_(False))
+    _, T, done, scale, n_corr, failed = jax.lax.while_loop(cond, body, init)
     success = ~failed
     # On failure the caller must use the initial guess (Estimator.cpp:304-307).
     T_final = jnp.where(success, T, T_init)

@@ -100,7 +100,10 @@ class VoxelMapState(NamedTuple):
     l0_key: jax.Array       # (C0, 2) uint32 packed key (INVALID when free)
     l0_sum: jax.Array       # (C0, 3) f32 running point-sum
     l0_count: jax.Array     # (C0,) i32 — 0 marks a free slot
-    l0_index: jax.Array     # (H0,) i32 hash index -> slot (never cleared)
+    l0_index: jax.Array     # (H0, 3) i32 [slot | key_hi | key_lo] — one
+    #   row gather per probe round answers cell occupancy AND the key
+    #   (keys bitcast to i32; the slot's uint32 key table stays the
+    #   source of truth for dead-slot detection)
     n_l0: jax.Array         # () i32
     # L1 parent slots
     l1_key: jax.Array       # (C1, 2) uint32
@@ -112,7 +115,7 @@ class VoxelMapState(NamedTuple):
     l1_children: jax.Array  # (C1, 27) i32 child slot ids (-1 empty)
     l1_child_count: jax.Array  # (C1,) i32 (0 = free slot)
     l1_last_count: jax.Array   # (C1,) i32 last surfel-compute count
-    l1_index: jax.Array     # (H1,) i32
+    l1_index: jax.Array     # (H1, 3) i32
     n_l1: jax.Array         # () i32
 
 
@@ -124,7 +127,7 @@ def empty_map(c0: int, c1: int) -> VoxelMapState:
         l0_key=jnp.broadcast_to(inval, (c0, 2)).copy(),
         l0_sum=jnp.zeros((c0, 3), jnp.float32),
         l0_count=jnp.zeros((c0,), jnp.int32),
-        l0_index=jnp.full((_index_size(c0),), -1, jnp.int32),
+        l0_index=jnp.full((_index_size(c0), 3), -1, jnp.int32),
         n_l0=jnp.int32(0),
         l1_key=jnp.broadcast_to(inval, (c1, 2)).copy(),
         l1_surfel=surfel,
@@ -132,28 +135,32 @@ def empty_map(c0: int, c1: int) -> VoxelMapState:
         l1_children=jnp.full((c1, 27), -1, jnp.int32),
         l1_child_count=jnp.zeros((c1,), jnp.int32),
         l1_last_count=jnp.zeros((c1,), jnp.int32),
-        l1_index=jnp.full((_index_size(c1),), -1, jnp.int32),
+        l1_index=jnp.full((_index_size(c1), 3), -1, jnp.int32),
         n_l1=jnp.int32(0),
     )
 
 
 def _probe(index, key_tbl, qhi, qlo):
-    """Find each query key's slot by fixed-depth double-hash probing with
-    key verification (dead cells skipped). Returns slot (N,), -1 absent."""
+    """Find each query key's slot by fixed-depth double-hash probing.
+    Index rows carry the key, so each round is ONE row gather; a final
+    gather of the slot's key table entry rejects stale cells (the slot
+    was freed/reused after the cell was written). Returns slot (N,)."""
     h1m = index.shape[0] - 1
     c = key_tbl.shape[0]
     n = qhi.shape[0]
+    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
+    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
     slot = jnp.full((n,), -1, jnp.int32)
     found = jnp.zeros((n,), bool)
     for r in range(N_PROBES):
         pos = _hash_cell(qhi, qlo, h1m, r)
-        cand = index[pos]
-        cand_c = jnp.clip(cand, 0, c - 1)
-        k = key_tbl[cand_c]
-        ok = (cand >= 0) & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~found
-        slot = jnp.where(ok, cand, slot)
+        row = index[pos]
+        ok = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) & ~found
+        slot = jnp.where(ok, row[:, 0], slot)
         found = found | ok
-    return slot
+    k = key_tbl[jnp.clip(slot, 0, c - 1)]
+    live = found & (k[:, 0] == qhi) & (k[:, 1] == qlo)
+    return jnp.where(live, slot, -1)
 
 
 def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
@@ -172,26 +179,40 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
 
     free_slots, n_free = _free_slot_list(slot_valid, free_cap)
     alloc_count = jnp.int32(0)
+    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
+    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
+    new_row = jnp.stack([jnp.zeros_like(qh_i), qh_i, ql_i], axis=-1)
 
     slot = jnp.full((n,), -1, jnp.int32)
     resolved = ~cand_mask
     allocated = jnp.zeros((n,), bool)
 
     for _retry in range(INSERT_RETRIES):
-        # fused scan over probe rounds: find the existing key AND the first
-        # reusable cell (empty, or pointing at a dead slot) in one pass
+        # fused scan over probe rounds: find the row matching this key AND
+        # the first reusable cell (empty row, or row key marked INVALID)
         claim_pos = jnp.full((n,), -1, jnp.int32)
+        hit_slot = jnp.full((n,), -1, jnp.int32)
+        hit_found = jnp.zeros((n,), bool)
         for r in range(N_PROBES):
             pos = _hash_cell(qhi, qlo, h1m, r)
-            cand = index[pos]
-            cand_c = jnp.clip(cand, 0, c - 1)
-            k = key_tbl[cand_c]
-            hit = (cand >= 0) & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~resolved
-            slot = jnp.where(hit, cand, slot)
-            resolved = resolved | hit
-            dead = (cand >= 0) & (k[:, 0] == K.INVALID_HI) & (k[:, 1] == K.INVALID_LO)
-            reusable = (cand < 0) | dead
+            row = index[pos]
+            hit = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) \
+                & ~hit_found
+            hit_slot = jnp.where(hit, row[:, 0], hit_slot)
+            hit_found = hit_found | hit
+            reusable = row[:, 0] < 0
             claim_pos = jnp.where(reusable & (claim_pos < 0), pos, claim_pos)
+            # a row whose key matches but whose slot died IS this key's
+            # reusable home (same probe sequence) — claim it
+            claim_pos = jnp.where(hit & (claim_pos < 0), pos, claim_pos)
+
+        # liveness check: the row's slot must still hold this key (slots
+        # recycle; rows do not). Dead hits fall through to the claim.
+        hs_c = jnp.clip(hit_slot, 0, c - 1)
+        k = key_tbl[hs_c]
+        live = hit_found & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~resolved
+        slot = jnp.where(live, hit_slot, slot)
+        resolved = resolved | live
 
         want = ~resolved & (claim_pos >= 0)
         marker = jnp.full((index.shape[0],), BIG, jnp.int32)
@@ -204,22 +225,19 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
         tgt = jnp.where(can, new_slot, c)
         key_tbl = key_tbl.at[tgt].set(jnp.stack([qhi, qlo], axis=-1), mode="drop")
         index = index.at[jnp.where(can, claim_pos, index.shape[0])].set(
-            new_slot, mode="drop")
+            new_row.at[:, 0].set(new_slot), mode="drop")
         alloc_count = alloc_count + jnp.sum(can.astype(jnp.int32))
         slot = jnp.where(can, new_slot, slot)
         resolved = resolved | can
         allocated = allocated | can
 
         # same-cell recheck: duplicates of a just-allocated key re-read the
-        # cell they contended for and resolve immediately (cheaper than a
-        # whole extra retry; only cross-key collisions remain unresolved)
+        # cell they contended for and resolve immediately
         cp_c = jnp.clip(claim_pos, 0, index.shape[0] - 1)
-        cand2 = index[cp_c]
-        cand2_c = jnp.clip(cand2, 0, c - 1)
-        k2 = key_tbl[cand2_c]
-        hit2 = (claim_pos >= 0) & (cand2 >= 0) \
-            & (k2[:, 0] == qhi) & (k2[:, 1] == qlo) & ~resolved
-        slot = jnp.where(hit2, cand2, slot)
+        row2 = index[cp_c]
+        hit2 = (claim_pos >= 0) & (row2[:, 0] >= 0) \
+            & (row2[:, 1] == qh_i) & (row2[:, 2] == ql_i) & ~resolved
+        slot = jnp.where(hit2, row2[:, 0], slot)
         resolved = resolved | hit2
 
     return index, key_tbl, slot, allocated

@@ -64,22 +64,25 @@ def _local_lookup(l1_key_shard, l1_surfel_shard, l1_index_full, pts,
     inv = 1.0 / (voxel_size * hierarchy_factor)
     coords = K.voxel_coords(pts, inv)
     qhi, qlo = K.pack_key(coords)
+    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
+    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
     h1m = l1_index_full.shape[0] - 1
     n = qhi.shape[0]
-    hit = jnp.zeros((n,), bool)
-    local_slot = jnp.zeros((n,), jnp.int32)
+    found = jnp.zeros((n,), bool)
+    gslot = jnp.full((n,), -1, jnp.int32)
     for r in range(vm.N_PROBES):
         pos = vm._hash_cell(qhi, qlo, h1m, r)
-        cand = l1_index_full[pos]
-        local = cand - offset
-        mine = (cand >= 0) & (local >= 0) & (local < shard)
-        lc = jnp.clip(local, 0, shard - 1)
-        k = l1_key_shard[lc]
-        ok = mine & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~hit
-        local_slot = jnp.where(ok, local, local_slot)
-        hit = hit | ok
-    row = l1_surfel_shard[jnp.clip(local_slot, 0, shard - 1)]
-    valid = hit & (row[:, 7] > 0.5)  # probe already verified the key
+        row = l1_index_full[pos]
+        ok = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) & ~found
+        gslot = jnp.where(ok, row[:, 0], gslot)
+        found = found | ok
+    local = gslot - offset
+    mine = found & (local >= 0) & (local < shard)
+    lc = jnp.clip(local, 0, shard - 1)
+    k = l1_key_shard[lc]
+    hit = mine & (k[:, 0] == qhi) & (k[:, 1] == qlo)  # liveness (slot reuse)
+    row = l1_surfel_shard[lc]
+    valid = hit & (row[:, 7] > 0.5)
     normal = jnp.where(valid[:, None], row[:, 0:3], 0.0)
     centroid = jnp.where(valid[:, None], row[:, 3:6], 0.0)
     return normal, centroid, valid
