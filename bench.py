@@ -37,6 +37,10 @@ BATCH = 4
 
 def make_scans(seed=11):
     from lidar_odometry_tpu.io import synthetic
+    cache = f"/tmp/bench_scans_{seed}_{N_FRAMES}_{RAW_N}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        return data["scans"], data["poses"]
     world = synthetic.make_world(seed=seed, extent=120.0, n_buildings=28)
     poses = synthetic.straight_trajectory(N_FRAMES, step=0.25)
     rng = np.random.default_rng(seed)
@@ -45,6 +49,10 @@ def make_scans(seed=11):
         s = synthetic.sample_scan(world, poses[i], RAW_N, rng,
                                   max_range=80.0, noise=0.01)
         scans[i, : len(s)] = s
+    try:
+        np.savez(cache, scans=scans, poses=poses)
+    except Exception:
+        pass
     return scans, poses
 
 

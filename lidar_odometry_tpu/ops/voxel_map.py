@@ -72,6 +72,16 @@ def configure_grids(l0_dims=None, l1_dims=None):
     del l0_dims, l1_dims
 
 
+def _set_rows(tbl, idx, cols, mode="drop"):
+    """Row scatter decomposed into per-column scatters: TPU XLA lowers
+    multi-column row scatters to ~0.8 ms serial loops, while single-column
+    (C,)-or-(C, W)-fixed-column scatters vectorize (~0.05 ms). `cols` is a
+    list of (N,) columns."""
+    for w, col in enumerate(cols):
+        tbl = tbl.at[idx, w].set(col, mode=mode)
+    return tbl
+
+
 def _index_size(capacity: int) -> int:
     n = INDEX_FACTOR * capacity
     p = 1
@@ -181,8 +191,6 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
     alloc_count = jnp.int32(0)
     qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
     ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
-    new_row = jnp.stack([jnp.zeros_like(qh_i), qh_i, ql_i], axis=-1)
-
     slot = jnp.full((n,), -1, jnp.int32)
     resolved = ~cand_mask
     allocated = jnp.zeros((n,), bool)
@@ -223,9 +231,9 @@ def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
         can = leader & (lead_rank < n_free) & (lead_rank < free_cap)
         new_slot = jnp.where(can, free_slots[jnp.clip(lead_rank, 0, free_cap - 1)], -1)
         tgt = jnp.where(can, new_slot, c)
-        key_tbl = key_tbl.at[tgt].set(jnp.stack([qhi, qlo], axis=-1), mode="drop")
-        index = index.at[jnp.where(can, claim_pos, index.shape[0])].set(
-            new_row.at[:, 0].set(new_slot), mode="drop")
+        key_tbl = _set_rows(key_tbl, tgt, [qhi, qlo])
+        ipos = jnp.where(can, claim_pos, index.shape[0])
+        index = _set_rows(index, ipos, [new_slot, qh_i, ql_i])
         alloc_count = alloc_count + jnp.sum(can.astype(jnp.int32))
         slot = jnp.where(can, new_slot, slot)
         resolved = resolved | can
@@ -324,6 +332,13 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # in the affected set below so their counts/surfels refresh). The whole
     # path is skipped when nothing evicts (scalar cond — common when the
     # sensor barely moved since the last keyframe).
+    # cheap vector-masking of the evicted slots runs unconditionally (a
+    # where over the tables costs ~0.05 ms; cond-copying them costs more);
+    # only the probe/child-list surgery is conditional.
+    l0_key = jnp.where(keep[:, None], state.l0_key, INVAL)
+    l0_sum = jnp.where(keep[:, None], state.l0_sum, 0.0)
+    l0_count = jnp.where(keep, state.l0_count, 0)
+
     def do_evict(_):
         ev_list, _n = _compact_mask(evict, EVICT_CAP)
         ev_ok = ev_list >= 0
@@ -340,16 +355,12 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         ch = state.l1_children.at[
             jnp.where(has_par, ep_slot, c1), jnp.where(has_par, ev_off, 0)].set(
             -1, mode="drop")
-        kk = jnp.where(keep[:, None], state.l0_key, INVAL)
-        ss = jnp.where(keep[:, None], state.l0_sum, 0.0)
-        cc = jnp.where(keep, state.l0_count, 0)
-        return ch, kk, ss, cc, jnp.where(has_par, ep_slot, -1)
+        return ch, jnp.where(has_par, ep_slot, -1)
 
     def no_evict(_):
-        return (state.l1_children, state.l0_key, state.l0_sum, state.l0_count,
-                jnp.full((EVICT_CAP,), -1, jnp.int32))
+        return state.l1_children, jnp.full((EVICT_CAP,), -1, jnp.int32)
 
-    l1_children, l0_key, l0_sum, l0_count, evpar_slots = jax.lax.cond(
+    l1_children, evpar_slots = jax.lax.cond(
         jnp.any(evict), do_evict, no_evict, None)
 
     # ---- Step 2: insert new points (AddPoint, VoxelMap.cpp:99-120) ----
@@ -362,7 +373,9 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         state.l0_index, l0_key, l0_count > 0, phi, plo, new_mask, free_cap=p)
     placed = slot >= 0
     tgt = jnp.where(placed, slot, c0)
-    l0_sum = l0_sum.at[tgt].add(jnp.where(placed[:, None], new_pts, 0.0), mode="drop")
+    for _w in range(3):
+        l0_sum = l0_sum.at[tgt, _w].add(
+            jnp.where(placed, new_pts[:, _w], 0.0), mode="drop")
     l0_count = l0_count.at[tgt].add(placed.astype(jnp.int32), mode="drop")
     n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
 
@@ -434,7 +447,9 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         del_children = kids_ok & non_planar[:, None]
         dslot = jnp.where(del_children, kids, c0).reshape(-1)
         l0_count = l0_count.at[dslot].set(0, mode="drop")
-        l0_key = l0_key.at[dslot].set(INVAL, mode="drop")
+        l0_key = _set_rows(l0_key, dslot,
+                           [jnp.full_like(dslot, K.INVALID_HI, dtype=jnp.uint32),
+                            jnp.full_like(dslot, K.INVALID_LO, dtype=jnp.uint32)])
         l1_children = l1_children.at[jnp.where(non_planar, aff_slot, c1)].set(
             -1, mode="drop")
         n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
@@ -455,14 +470,17 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         [keep_payload[:, :6],
          jnp.where(use_new, plan, srow[:, 6])[:, None],
          has_out.astype(f32)[:, None]], axis=-1)
-    l1_surfel = l1_surfel.at[wslot].set(rows, mode="drop")
+    l1_surfel = _set_rows(l1_surfel, wslot, [rows[:, _w] for _w in range(8)])
     l1_planarity = l1_planarity.at[jnp.where(use_new, wslot, c1)].set(
         plan, mode="drop")
     l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(cnt, mode="drop")
 
     # free emptied cells: key -> INVALID recycles both slot and index cell
     freed = aff_ok & (cnt == 0)
-    l1_key = l1_key.at[jnp.where(freed, wslot, c1)].set(INVAL, mode="drop")
+    fpos = jnp.where(freed, wslot, c1)
+    l1_key = _set_rows(l1_key, fpos,
+                       [jnp.full_like(fpos, K.INVALID_HI, dtype=jnp.uint32),
+                        jnp.full_like(fpos, K.INVALID_LO, dtype=jnp.uint32)])
 
     n_l1 = jnp.sum((l1_child_count > 0).astype(jnp.int32))
     return VoxelMapState(
@@ -541,8 +559,10 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
         free_cap=c0)
     placed = slot >= 0
     tgt = jnp.where(placed, slot, c0)
-    l0_sum = fresh.l0_sum.at[tgt].add(
-        jnp.where(placed[:, None], new_sum, 0.0), mode="drop")
+    l0_sum = fresh.l0_sum
+    for _w in range(3):
+        l0_sum = l0_sum.at[tgt, _w].add(
+            jnp.where(placed, new_sum[:, _w], 0.0), mode="drop")
     l0_count = fresh.l0_count.at[tgt].add(
         jnp.where(placed, state.l0_count, 0), mode="drop")
     n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
