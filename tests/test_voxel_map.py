@@ -130,3 +130,37 @@ def test_unaffected_cells_keep_surfels():
     _, _, valid = vm.lookup_surfels(state, q, voxel_size=VOX)
     assert bool(np.asarray(valid)[0])
     assert bool(np.asarray(valid)[1])
+
+
+def test_insert_evict_reinsert_cycles():
+    """Stale index cells must recycle correctly: keys evicted and
+    re-inserted repeatedly stay findable and never duplicate."""
+    rng = np.random.default_rng(7)
+    state = vm.empty_map(8192, 2048)
+    base = rng.uniform(-20, 20, (3000, 3)).astype(np.float32)
+    pts = jnp.asarray(base)
+    mask = jnp.ones(len(base), bool)
+    far_sensor = jnp.asarray([1000.0, 0.0, 0.0], jnp.float32)
+    near_sensor = jnp.zeros(3, jnp.float32)
+    for cycle in range(4):
+        # insert
+        state = vm.update_map(state, pts, mask, near_sensor, 120.0,
+                              voxel_size=0.5, planarity_threshold=1.0)
+        n_after_insert = int(state.n_l0)
+        # all inserted points must be findable via the index
+        from lidar_odometry_tpu.utils import keys as K
+        coords = K.voxel_coords(pts, 2.0)
+        hi, lo = K.pack_key(coords)
+        slot = vm._probe(state.l0_index, jnp.stack(
+            [state.l0_key[:, 0], state.l0_key[:, 1]], axis=-1), hi, lo)
+        found = np.asarray(slot) >= 0
+        assert found.mean() > 0.995, found.mean()
+        # evict everything (sensor far away)
+        state = vm.update_map(state, jnp.full_like(pts, jnp.nan),
+                              jnp.zeros(len(base), bool), far_sensor, 50.0,
+                              voxel_size=0.5, planarity_threshold=1.0)
+        assert int(state.n_l0) == 0, cycle
+    # final reinsert: counts stable across cycles (no slot/index leak)
+    state = vm.update_map(state, pts, mask, near_sensor, 120.0,
+                          voxel_size=0.5, planarity_threshold=1.0)
+    assert abs(int(state.n_l0) - n_after_insert) <= n_after_insert * 0.01
