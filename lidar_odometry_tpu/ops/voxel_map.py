@@ -54,16 +54,18 @@ __all__ = ["VoxelMapState", "empty_map", "update_map", "lookup_surfels",
 MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 
 # Hash index sizing and fixed probe depth (insert and lookup MUST agree so
-# every inserted key is findable). Load factor <= 0.25 makes the miss
-# probability after N_PROBES rounds ~0.25^4 = 0.4% per key; failed inserts
-# drop the point (bounded, like every other capacity in this design).
-INDEX_FACTOR = 4
+# every inserted key is findable). At INDEX_FACTOR=2 a FULL table probes at
+# load 0.5 (miss ~6% worst case), but SLAM maps run the slot tables at
+# ~30-50% occupancy, i.e. index load 0.15-0.25 (miss <1%); failed inserts
+# drop the point (bounded, like every other capacity in this design). The
+# index is also the largest per-frame cond-carried state, so smaller wins.
+INDEX_FACTOR = 2
 N_PROBES = 4
 INSERT_RETRIES = 2
 
 # Static caps for per-update candidate lists.
-AFFECTED_CAP = 8192
-EVICT_CAP = 16384
+AFFECTED_CAP = 4096
+EVICT_CAP = 8192
 
 
 def configure_grids(l0_dims=None, l1_dims=None):
