@@ -63,9 +63,12 @@ INDEX_FACTOR = 2
 N_PROBES = 4
 INSERT_RETRIES = 2
 
-# Static caps for per-update candidate lists.
-AFFECTED_CAP = 4096
-EVICT_CAP = 8192
+# Static caps for per-update candidate lists. AFFECTED_CAP must exceed
+# the distinct parent cells of one scan insert (~5-6k for a fresh 16k-pt
+# keyframe) — at 4096 early keyframes overflowed and lost surfels, which
+# silently destroyed tracking.
+AFFECTED_CAP = 8192
+EVICT_CAP = 16384
 
 
 def configure_grids(l0_dims=None, l1_dims=None):
