@@ -164,3 +164,30 @@ def test_insert_evict_reinsert_cycles():
     state = vm.update_map(state, pts, mask, near_sensor, 120.0,
                           voxel_size=0.5, planarity_threshold=1.0)
     assert abs(int(state.n_l0) - n_after_insert) <= n_after_insert * 0.01
+
+
+def test_large_fresh_keyframe_gets_full_surfel_coverage():
+    """A fresh keyframe inserting >4k distinct parent cells must not lose
+    surfels to affected-list overflow (regression: AFFECTED_CAP=4096
+    silently dropped half the cells and destroyed tracking)."""
+    rng = np.random.default_rng(11)
+    state = vm.empty_map(65536, 16384)
+    # dense planar patch grid: ~5500 distinct L1 cells, all surfel-worthy
+    n_cells = 5500
+    side = int(np.ceil(np.sqrt(n_cells)))
+    pts = []
+    for cy in range(side):
+        for cx in range(side):
+            if cx * side + cy >= n_cells:
+                break
+            ox, oy = cx * 1.5, cy * 1.5
+            xs = rng.random(16) * 1.4 + ox
+            ys = rng.random(16) * 1.4 + oy
+            zs = np.full(16, 0.25)
+            pts.append(np.stack([xs, ys, zs], axis=1))
+    pts = np.concatenate(pts).astype(np.float32)
+    state = vm.update_map(state, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                          jnp.zeros(3), 1e9, voxel_size=0.5,
+                          planarity_threshold=0.1)
+    n_surf = int((np.asarray(state.l1_surfel[:, 7]) > 0.5).sum())
+    assert n_surf > 0.9 * n_cells, (n_surf, n_cells)
