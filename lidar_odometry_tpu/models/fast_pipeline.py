@@ -42,10 +42,13 @@ class OdomCarry(NamedTuple):
 
 
 def init_carry(c0: int, c1: int) -> OdomCarry:
-    eye = jnp.eye(4, dtype=jnp.float32)
+    # distinct buffers per field: the chunk runner donates the carry, and
+    # aliased buffers would be donated twice
     return OdomCarry(
         map_state=vm.empty_map(c0, c1),
-        T_prev=eye, velocity=eye, last_kf_pose=eye,
+        T_prev=jnp.eye(4, dtype=jnp.float32),
+        velocity=jnp.eye(4, dtype=jnp.float32),
+        last_kf_pose=jnp.eye(4, dtype=jnp.float32),
         initialized=jnp.bool_(False), kf_count=jnp.int32(0))
 
 
@@ -57,7 +60,11 @@ def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstan
     (reference semantics: Estimator.cpp:561-589 preprocess + :116-233)."""
     frame_step = _make_frame_step(icp_cfg, pko_consts, masked_update=False, **kw)
 
-    @jax.jit
+    # The carry (which contains the full map state) is donated: callers
+    # must treat the passed-in carry as consumed (all in-tree callers
+    # reassign it). Donation lets XLA alias the state buffers in place
+    # through the keyframe conditional instead of copying them per frame.
+    @partial(jax.jit, donate_argnums=(0,))
     def chunk(carry: OdomCarry, scans):
         return jax.lax.scan(frame_step, carry, scans)
 
