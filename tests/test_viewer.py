@@ -1,0 +1,64 @@
+"""Headless viewer artifact tests (PangolinViewer stand-in, viewer.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from lidar_odometry_tpu import viewer
+
+
+def test_render_snapshot(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((500, 3)).astype(np.float32) * 10
+    traj = np.tile(np.eye(4, dtype=np.float32), (20, 1, 1))
+    traj[:, 0, 3] = np.arange(20)
+    out = str(tmp_path / "snap.png")
+    ok = viewer.render_snapshot(out, map_points=pts, trajectory=traj,
+                                keyframe_positions=traj[::5, :3, 3])
+    if ok:
+        assert os.path.getsize(out) > 1000
+    # returns False gracefully when matplotlib is missing — either way no crash
+
+
+def test_console_viewer_autoplay():
+    cv = viewer.ConsoleViewer(step_mode=False, print_every=5)
+    pose = np.eye(4, dtype=np.float32)
+    for _ in range(12):
+        assert cv.on_frame(pose, n_points=100, n_keyframes=2)
+    cv.finish()
+
+
+@pytest.mark.slow
+def test_export_state(tmp_path):
+    from lidar_odometry_tpu.config import SystemConfig
+    from lidar_odometry_tpu.io import synthetic
+    from lidar_odometry_tpu.models.estimator import Estimator
+    cfg = SystemConfig(scan_capacity=4096, map_l0_capacity=16384,
+                       map_l1_capacity=4096, keyframe_capacity=16,
+                       point_stride=2, enable_loop_detection=False,
+                       enable_console_statistics=False)
+    world = synthetic.make_world(seed=40, extent=40.0, n_buildings=8)
+    poses = synthetic.straight_trajectory(5, step=0.4)
+    rng = np.random.default_rng(40)
+    est = Estimator(cfg, sync_loop=True)
+    for p in poses:
+        est.process_frame(synthetic.sample_scan(world, p, 6000, rng,
+                                                max_range=30.0, noise=0.01))
+    out = str(tmp_path / "export")
+    viewer.export_state(out, est)
+    assert os.path.isfile(os.path.join(out, "map.ply"))
+    assert os.path.isfile(os.path.join(out, "trajectory_xyz.csv"))
+    assert os.path.isfile(os.path.join(out, "keyframes_xyz.csv"))
+    est.shutdown()
+
+
+def test_timing_statistics_smoke(capsys):
+    from lidar_odometry_tpu.models.estimator import Estimator, TimingStats
+    from lidar_odometry_tpu.config import SystemConfig
+    est = Estimator(SystemConfig(enable_loop_detection=False,
+                                 scan_capacity=1024, map_l0_capacity=4096,
+                                 map_l1_capacity=1024), sync_loop=True)
+    for i in range(5):
+        est.timing_history.append(TimingStats(1.0, 2.0, 3.0, 6.0))
+    est.print_timing_statistics()  # must not raise
+    est.shutdown()
