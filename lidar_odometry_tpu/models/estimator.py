@@ -606,6 +606,45 @@ class Estimator:
             acc = (sums / counts[:, None]).astype(np.float32)
         return acc
 
+    # -- small accessors for reference API parity (Estimator.h public
+    #    surface: get_current_pose/get_keyframe_count/get_keyframe/
+    #    enable_loop_closure/get_loop_closure_count) --
+
+    def get_current_pose(self) -> np.ndarray:
+        return self.T_current.copy()
+
+    def get_keyframe_count(self) -> int:
+        with self._keyframes_lock:
+            return len(self.keyframes)
+
+    def get_keyframe(self, index: int) -> Optional[KeyframeRecord]:
+        with self._keyframes_lock:
+            if 0 <= index < len(self.keyframes):
+                return self.keyframes[index]
+        return None
+
+    def enable_loop_closure(self, enable: bool) -> None:
+        """reference Estimator::enable_loop_closure (Estimator.cpp:616-623)."""
+        self.loop_detector.config.enable_loop_detection = enable
+
+    def get_loop_closure_count(self) -> int:
+        return self.loop_constraint_count
+
+    def save_map_to_ply(self, output_path: str,
+                        voxel_size: Optional[float] = None) -> bool:
+        """reference Estimator::save_map_to_ply (Estimator.cpp:1248-1305)."""
+        from ..io.ply import save_ply
+        pts = self.accumulated_map(voxel_size
+                                   if voxel_size is not None
+                                   else self.cfg.voxel_size)
+        if len(pts) == 0:
+            log.warn("[Estimator] No keyframes to save")
+            return False
+        save_ply(output_path, pts)
+        log.info("[Estimator] Saved final map to {} ({} points)",
+                 output_path, len(pts))
+        return True
+
     def shutdown(self):
         if self._thread is not None:
             self._thread_running = False

@@ -58,3 +58,29 @@ def test_kdtree_mode_odometry():
     err = ate_rmse(est.trajectory(), poses)
     assert err < 0.2, err
     est.shutdown()
+
+
+@pytest.mark.slow
+def test_estimator_api_parity_surface():
+    """Reference Estimator public API equivalents (Estimator.h)."""
+    cfg = _small_cfg()
+    world = synthetic.make_world(seed=50, extent=40.0, n_buildings=8)
+    poses = synthetic.straight_trajectory(6, step=0.4)
+    rng = np.random.default_rng(50)
+    est = Estimator(cfg, sync_loop=True)
+    for p in poses:
+        est.process_frame(synthetic.sample_scan(world, p, 8000, rng,
+                                                max_range=30.0, noise=0.01))
+    assert est.get_keyframe_count() >= 2
+    kf = est.get_keyframe(0)
+    assert kf is not None and kf.kf_id == 0
+    assert est.get_keyframe(9999) is None
+    assert est.get_current_pose().shape == (4, 4)
+    assert est.get_loop_closure_count() == 0
+    est.enable_loop_closure(True)
+    assert est.loop_detector.config.enable_loop_detection
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "map.ply")
+    assert est.save_map_to_ply(out)
+    assert os.path.getsize(out) > 100
+    est.shutdown()
