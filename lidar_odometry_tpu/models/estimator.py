@@ -453,11 +453,19 @@ class Estimator:
         if matched_kf is None:
             return False
 
+        # Snapshot both keyframe poses under the lock: the main thread's
+        # _apply_pending_pgo_result_if_available can rewrite stored_pose
+        # concurrently, and the between-factor must come from a consistent
+        # pose pair (ADVICE round-1 item 4).
+        with self._keyframes_lock:
+            current_pose = current_kf.stored_pose.copy()
+            matched_pose = matched_kf.stored_pose.copy()
+
         # Loop ICP against the matched keyframe's world-frame feature cloud
         # (reference optimize_loop builds exactly this target,
         # IterativeClosestPointOptimizer.cpp:59-64).
         matched_world = lie.transform_points(
-            jnp.asarray(matched_kf.stored_pose),
+            jnp.asarray(matched_pose),
             jnp.asarray(matched_kf.feature_cloud))
         table = knn.build_point_table(
             matched_world, jnp.asarray(matched_kf.feature_mask),
@@ -465,7 +473,7 @@ class Estimator:
         T_rel_dev, success, inlier_ratio = icp.icp_optimize_loop(
             jnp.asarray(current_kf.feature_cloud),
             jnp.asarray(current_kf.feature_mask),
-            jnp.asarray(current_kf.stored_pose),
+            jnp.asarray(current_pose),
             table, self.pko_consts, self.icp_cfg)
         if not bool(success):
             log.warn("[Background] Loop ICP failed {} <-> {}",
@@ -478,8 +486,8 @@ class Estimator:
             return False
 
         T_rel = np.asarray(T_rel_dev, dtype=np.float64)
-        T_world_current = current_kf.stored_pose.astype(np.float64)
-        T_world_matched = matched_kf.stored_pose.astype(np.float64)
+        T_world_current = current_pose.astype(np.float64)
+        T_world_matched = matched_pose.astype(np.float64)
         T_current_corrected = T_world_current @ T_rel
         T_matched_to_current = np.linalg.inv(T_world_matched) @ T_current_corrected
 
@@ -624,8 +632,19 @@ class Estimator:
         return None
 
     def enable_loop_closure(self, enable: bool) -> None:
-        """reference Estimator::enable_loop_closure (Estimator.cpp:616-623)."""
+        """reference Estimator::enable_loop_closure (Estimator.cpp:616-623).
+
+        Keyframe-time loop queries gate on self.cfg.enable_loop_detection
+        and the worker thread is normally started in __init__, so enabling
+        at runtime must update both and lazily start the worker
+        (ADVICE round-1 item 3)."""
         self.loop_detector.config.enable_loop_detection = enable
+        self.cfg = self.cfg.replace(enable_loop_detection=enable)
+        if (enable and not self.sync_loop and self._thread is None):
+            self._thread_running = True
+            self._thread = threading.Thread(
+                target=self._loop_pgo_thread, daemon=True)
+            self._thread.start()
 
     def get_loop_closure_count(self) -> int:
         return self.loop_constraint_count

@@ -212,9 +212,12 @@ class PoseGraphOptimizer:
             self._betweens.append(BetweenFactor(
                 self._kf_to_index[from_id], self._kf_to_index[to_id],
                 relative_pose.astype(np.float64), np.sqrt(info)))
-            self._optimize(max_iterations=10, convergence_threshold=1e-6)
-            self.loop_closure_count += 1
-            return True
+            # Propagate solver failure so Estimator's "PGO failed" path
+            # actually fires (ADVICE round-1 item 2).
+            ok = self._optimize(max_iterations=10, convergence_threshold=1e-6)
+            if ok:
+                self.loop_closure_count += 1
+            return ok
 
     def get_all_optimized_poses(self) -> Dict[int, np.ndarray]:
         with self._lock:

@@ -1,39 +1,60 @@
-"""2-level hierarchical voxel surfel map — slot tables + compact hash
-indices (TPU-native redesign of the reference VoxelMap,
-reference src/database/VoxelMap.{h,cpp}).
+"""2-level hierarchical voxel surfel map — bucketed exact hash index +
+slot stores + free-slot stacks (TPU-native redesign of the reference
+VoxelMap, reference src/database/VoxelMap.{h,cpp}).
 
 Reference semantics preserved:
-  * L0 leaf voxels hold a running centroid (kept as sum+count so parallel
-    merges are exact) — VoxelMap.cpp:99-120.
+  * L0 leaf voxels hold a running centroid (kept as sum+count so merges
+    are exact) — VoxelMap.cpp:99-120.
   * L1 parents (hierarchy_factor=3 => 3x3x3 children, Estimator.cpp:79)
     cache a surfel (normal from PCA of child centroids, centroid,
-    planarity = sigma2/sigma0) — VoxelMap.cpp:187-261; the reference's
-    per-parent `occupied_children` set is a (C1, 27) child-slot array.
+    planarity = sigma_min/sigma_max) — VoxelMap.cpp:187-261.
   * Per-keyframe update: radius eviction beyond max_distance
     (VoxelMap.cpp:146-158), point insertion, surfel recompute only for
-    AFFECTED L1 cells; unchanged-child-count cells keep cached surfels
-    (VoxelMap.cpp:203); non-planar affected cells are DELETED with their
-    children (VoxelMap.cpp:244-253); eviction-only cells drop surfels
-    below 5 children (UnregisterFromParent, VoxelMap.cpp:82-97).
-  * O(1) surfel query (VoxelMap.cpp:368-386): bounded hash probe into a
-    compact index + ONE packed row gather.
+    L1 cells whose CHILD SET changed (new-child registration or
+    eviction); unchanged-child-count cells keep cached surfels
+    (VoxelMap.cpp:203); non-planar recomputed cells are DELETED with
+    their children (VoxelMap.cpp:244-253); eviction-only cells drop
+    surfels below 5 children (UnregisterFromParent, VoxelMap.cpp:82-97).
+  * O(1) surfel query (VoxelMap.cpp:368-386): ONE bucket-row gather +
+    ONE payload-row gather.
   * ApplyTransformAndRehash merges re-keyed centroids by weighted
-    centroid and recomputes all surfels (VoxelMap.cpp:264-366).
+    centroid and recomputes all surfels (VoxelMap.cpp:264-366) — here a
+    sort-based bulk rebuild.
 
-Design (TPU, v3): measured gather throughput on TPU v5e falls ~7x once
-tables exceed a few hundred thousand entries, so the voxel->slot index is
-an open-addressing HASH table of 4x slot capacity (load <= 0.25, fixed
-probe depth) rather than a dense spatial grid. Hot payloads are packed
-into (C, 8) float32 rows ([normal|centroid|key]) so a lookup is: probe
-gathers on small tables + 1 row gather. Updates are pure scatter
-programs — leader election by scatter-min, free-slot allocation by
-cumsum compaction, child registration into the (C1, 27) slot lists.
-
-Staleness discipline: eviction/deletion NEVER touches the index — dead
-cells are detected by key verification (freed slots carry INVALID keys)
-and recycled by insertion (two-pass: find-existing across all probe
-rounds, then claim the first dead-or-empty cell). Child lists verify each
-entry's parent key, so slot reuse can never leak points across cells.
+Design (TPU, v4 — rebuilt from device traces of v3):
+  * Gathers of K random rows cost ~20 ns/row on v5e regardless of row
+    width (<=128 B), scatters ~6 ns/update/column, sorts of 16k keys are
+    ~10 us (free). The structure minimizes GATHER ROUNDS and keeps every
+    scatter's update count small via compaction.
+  * The hash index is one wide row per BUCKET of 8 cells:
+    (B, 32) i32 = [slot x8 | key_hi x8 | key_lo x8 | pad].  A lookup is
+    ONE row gather + 8 in-register compares (v3 probed 4 dependent
+    rounds). Keys live in the row, so hits need no verification gather.
+  * The index is EXACT: every slot records its cell (`cellpos`), and
+    eviction/deletion erases the cell immediately — no stale entries,
+    no dead-cell probing rules.  A key whose bucket is full is dropped
+    (bounded loss; <0.1% at the designed load factor of <=2 keys/bucket
+    average, counted in n_dropped).
+  * Free slots live on persistent STACKS (l0_free/l1_free + tops); v3
+    recomputed a free list by scanning the whole table per update
+    (~4 ms).  n_l0/n_l1 fall out of the stack tops.
+  * Insertion: one bucket gather resolves hits; new keys are deduped by
+    sort, ranked per bucket by sort, and claim DISTINCT empty cells in
+    one pass (cell = rank-th empty bit of the bucket mask); a second
+    compacted round resolves duplicates and spillover.
+  * The affected set for surfel recompute is parents of NEWLY CREATED
+    voxels + evicted parents ONLY (child-count-change semantics above;
+    v3 recomputed stats for parents of all 16k inserted points and paid
+    3 x 3 ms gathering 220k child rows).
+  * Child stats gather packed rows: l0_data (C0,4) f32 [count|sum xyz]
+    and l0_meta (C0,4) i32 [hi|lo|parent_pos|cellpos]; children verify
+    by parent backpointer (slot recycling can never leak points across
+    cells because a parent is only freed once no live child references
+    it).
+  * Two size tiers (lax.cond on the number of unresolved keys): the
+    steady-state branch compacts all allocation/affected lists to 4096,
+    the bulk branch (first keyframe of a sequence, teleports) uses full
+    16384/8192 caps.
 """
 from __future__ import annotations
 
@@ -48,236 +69,210 @@ from ..utils import keys as K
 from ..utils import eigh3
 
 __all__ = ["VoxelMapState", "empty_map", "update_map", "lookup_surfels",
-           "transform_and_rehash", "l0_points", "grid_knn_neighbors",
-           "MIN_OCCUPIED_CHILDREN", "configure_grids"]
+           "transform_and_rehash", "bulk_build", "l0_points",
+           "grid_knn_neighbors", "MIN_OCCUPIED_CHILDREN"]
 
 MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 
-# Hash index sizing and fixed probe depth (insert and lookup MUST agree so
-# every inserted key is findable). At INDEX_FACTOR=2 a FULL table probes at
-# load 0.5 (miss ~6% worst case), but SLAM maps run the slot tables at
-# ~30-50% occupancy, i.e. index load 0.15-0.25 (miss <1%); failed inserts
-# drop the point (bounded, like every other capacity in this design). The
-# index is also the largest per-frame cond-carried state, so smaller wins.
-INDEX_FACTOR = 2
-N_PROBES = 4
-INSERT_RETRIES = 2
-
-# Static caps for per-update candidate lists. AFFECTED_CAP must exceed
-# the distinct parent cells of one scan insert (~5-6k for a fresh 16k-pt
-# keyframe) — at 4096 early keyframes overflowed and lost surfels, which
-# silently destroyed tracking.
-AFFECTED_CAP = 8192
-EVICT_CAP = 16384
+BUCKET = 8                  # cells per hash bucket (one row gather probes all)
+ROW = 32                    # i32 columns per index row: slot x8, hi x8, lo x8, pad
+EVICT_CAP = 8192
+SMALL_CAP = 4096            # steady-state tier: new-key/affected/delete caps
+INVALID_I32 = -1            # bitcast of K.INVALID_HI / K.INVALID_LO
 
 
-def configure_grids(l0_dims=None, l1_dims=None):
-    """Back-compat no-op (v2 used dense grids; v3 hash indices size
-    themselves from slot capacities)."""
-    del l0_dims, l1_dims
-
-
-def _set_rows(tbl, idx, cols, mode="drop"):
-    """Row scatter decomposed into per-column scatters: TPU XLA lowers
-    multi-column row scatters to ~0.8 ms serial loops, while single-column
-    (C,)-or-(C, W)-fixed-column scatters vectorize (~0.05 ms). `cols` is a
-    list of (N,) columns."""
-    for w, col in enumerate(cols):
-        tbl = tbl.at[idx, w].set(col, mode=mode)
-    return tbl
-
-
-def _index_size(capacity: int) -> int:
-    n = INDEX_FACTOR * capacity
+def _n_buckets(capacity: int) -> int:
+    n = max(capacity // 4, 8)   # avg load <= 2 keys per 8-cell bucket at 50% slot use
     p = 1
     while p < n:
         p *= 2
     return p
 
 
-def _hash_cell(hi: jax.Array, lo: jax.Array, mask: int, round_: int):
-    """Multiplicative mixing of the packed key pair -> index cell; probe
-    rounds use double hashing (odd step) to keep clusters short."""
+def _hash_bucket(hi: jax.Array, lo: jax.Array, mask: int):
     h = hi * jnp.uint32(0x9E3779B1) ^ lo * jnp.uint32(0x85EBCA77)
     h = (h ^ (h >> jnp.uint32(15))) * jnp.uint32(0xC2B2AE35)
     h = h ^ (h >> jnp.uint32(13))
-    step = (lo * jnp.uint32(0x27D4EB2F)) | jnp.uint32(1)
-    return ((h + jnp.uint32(round_) * step) & jnp.uint32(mask)).astype(jnp.int32)
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
 
 
 _CHILD_OFFS = np.stack(np.meshgrid(*([np.arange(3)] * 3), indexing="ij"),
                        axis=-1).reshape(27, 3).astype(np.int32)
-_NB_OFFS = _CHILD_OFFS - 1  # -1..1 cube for kNN
+_NB_OFFS = _CHILD_OFFS - 1  # -1..1 cube for grid kNN
 
 
 class VoxelMapState(NamedTuple):
-    # L0 leaf slots (stable indices)
-    l0_key: jax.Array       # (C0, 2) uint32 packed key (INVALID when free)
-    l0_sum: jax.Array       # (C0, 3) f32 running point-sum
-    l0_count: jax.Array     # (C0,) i32 — 0 marks a free slot
-    l0_index: jax.Array     # (H0, 3) i32 [slot | key_hi | key_lo] — one
-    #   row gather per probe round answers cell occupancy AND the key
-    #   (keys bitcast to i32; the slot's uint32 key table stays the
-    #   source of truth for dead-slot detection)
-    n_l0: jax.Array         # () i32
+    # L0 leaf slots
+    l0_meta: jax.Array    # (C0, 4) i32 [key_hi | key_lo | parent_pos | cellpos]
+    l0_data: jax.Array    # (C0, 4) f32 [count | sum_x | sum_y | sum_z]
+    l0_index: jax.Array   # (B0, ROW) i32 bucket rows
+    l0_free: jax.Array    # (C0,) i32 free-slot stack
+    l0_free_top: jax.Array  # () i32 — number of free slots
+    n_l0: jax.Array       # () i32 == C0 - l0_free_top
     # L1 parent slots
-    l1_key: jax.Array       # (C1, 2) uint32
-    l1_surfel: jax.Array    # (C1, 8) f32 [normal(3) | centroid(3) |
-    #   planarity | has_flag]. Keys must NOT be stored as bitcast floats:
-    #   TPU float selects flush denormal/NaN bit patterns. The hash probe
-    #   verifies keys from l1_key (uint32); col 7 > 0.5 marks a surfel.
-    l1_planarity: jax.Array  # (C1,)
+    l1_index: jax.Array   # (B1, ROW) i32 bucket rows
+    l1_meta: jax.Array    # (C1, 4) i32 [key_hi | key_lo | child_count | cellpos]
+    l1_last: jax.Array    # (C1,) i32 child count at last surfel compute
+    l1_surfel: jax.Array  # (C1, 8) f32 [normal(3) | centroid(3) | planarity | has]
     l1_children: jax.Array  # (C1, 27) i32 child slot ids (-1 empty)
-    l1_child_count: jax.Array  # (C1,) i32 (0 = free slot)
-    l1_last_count: jax.Array   # (C1,) i32 last surfel-compute count
-    l1_index: jax.Array     # (H1, 3) i32
-    n_l1: jax.Array         # () i32
+    l1_free: jax.Array    # (C1,) i32
+    l1_free_top: jax.Array  # () i32
+    n_l1: jax.Array       # () i32
+    n_dropped: jax.Array  # () i32 — keys lost to full buckets / caps (observability)
 
 
 def empty_map(c0: int, c1: int) -> VoxelMapState:
-    u = jnp.uint32
-    inval = jnp.asarray([K.INVALID_HI, K.INVALID_LO], dtype=u)
-    surfel = jnp.zeros((c1, 8), jnp.float32)
     return VoxelMapState(
-        l0_key=jnp.broadcast_to(inval, (c0, 2)).copy(),
-        l0_sum=jnp.zeros((c0, 3), jnp.float32),
-        l0_count=jnp.zeros((c0,), jnp.int32),
-        l0_index=jnp.full((_index_size(c0), 3), -1, jnp.int32),
+        l0_meta=jnp.full((c0, 4), INVALID_I32, jnp.int32),
+        l0_data=jnp.zeros((c0, 4), jnp.float32),
+        l0_index=jnp.full((_n_buckets(c0), ROW), -1, jnp.int32),
+        l0_free=jnp.arange(c0, dtype=jnp.int32),
+        l0_free_top=jnp.int32(c0),
         n_l0=jnp.int32(0),
-        l1_key=jnp.broadcast_to(inval, (c1, 2)).copy(),
-        l1_surfel=surfel,
-        l1_planarity=jnp.ones((c1,), jnp.float32),
+        l1_index=jnp.full((_n_buckets(c1), ROW), -1, jnp.int32),
+        l1_meta=jnp.full((c1, 4), INVALID_I32, jnp.int32),
+        l1_last=jnp.zeros((c1,), jnp.int32),
+        l1_surfel=jnp.zeros((c1, 8), jnp.float32),
         l1_children=jnp.full((c1, 27), -1, jnp.int32),
-        l1_child_count=jnp.zeros((c1,), jnp.int32),
-        l1_last_count=jnp.zeros((c1,), jnp.int32),
-        l1_index=jnp.full((_index_size(c1), 3), -1, jnp.int32),
+        l1_free=jnp.arange(c1, dtype=jnp.int32),
+        l1_free_top=jnp.int32(c1),
         n_l1=jnp.int32(0),
+        n_dropped=jnp.int32(0),
     )
 
 
-def _probe(index, key_tbl, qhi, qlo):
-    """Find each query key's slot by fixed-depth double-hash probing.
-    Index rows carry the key, so each round is ONE row gather; a final
-    gather of the slot's key table entry rejects stale cells (the slot
-    was freed/reused after the cell was written). Returns slot (N,)."""
-    h1m = index.shape[0] - 1
-    c = key_tbl.shape[0]
-    n = qhi.shape[0]
+# ---------------------------------------------------------------------------
+# index primitives
+# ---------------------------------------------------------------------------
+
+def _bucket_find(index, qhi, qlo):
+    """One-gather bucket probe. Returns (slot (N,), hit (N,), bucket (N,),
+    empty (N, BUCKET) bool)."""
+    bmask = index.shape[0] - 1
+    b = _hash_bucket(qhi, qlo, bmask)
+    row = index[b]                                   # (N, ROW)
     qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
     ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
-    slot = jnp.full((n,), -1, jnp.int32)
-    found = jnp.zeros((n,), bool)
-    for r in range(N_PROBES):
-        pos = _hash_cell(qhi, qlo, h1m, r)
-        row = index[pos]
-        ok = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) & ~found
-        slot = jnp.where(ok, row[:, 0], slot)
-        found = found | ok
-    k = key_tbl[jnp.clip(slot, 0, c - 1)]
-    live = found & (k[:, 0] == qhi) & (k[:, 1] == qlo)
-    return jnp.where(live, slot, -1)
+    slots = row[:, 0:BUCKET]
+    occ = slots >= 0
+    hit_c = occ & (row[:, BUCKET:2 * BUCKET] == qh_i[:, None]) \
+        & (row[:, 2 * BUCKET:3 * BUCKET] == ql_i[:, None])
+    hit = jnp.any(hit_c, axis=1)
+    slot = jnp.sum(jnp.where(hit_c, slots, 0), axis=1)  # <=1 cell matches
+    slot = jnp.where(hit, slot, -1)
+    return slot, hit, b, ~occ
 
 
-def _insert_keys(index, key_tbl, slot_valid, qhi, qlo, cand_mask,
-                 free_cap: int):
-    """Resolve-or-allocate slots for candidate keys (AddPoint /
-    RegisterToParent). Two-phase per retry: (1) full-depth probe for the
-    existing key; (2) claim the first DEAD-or-empty index cell by
-    scatter-min leader election (dead = cell's slot key is INVALID — how
-    eviction/deletion recycle both cells and slots). Losers retry.
-    Returns (index', key_tbl', slot (N,), newly_allocated (N,))."""
-    h1m = index.shape[0] - 1
-    c = key_tbl.shape[0]
-    n = qhi.shape[0]
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    BIG = jnp.iinfo(jnp.int32).max
-
-    free_slots, n_free = _free_slot_list(slot_valid, free_cap)
-    alloc_count = jnp.int32(0)
-    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
-    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
-    slot = jnp.full((n,), -1, jnp.int32)
-    resolved = ~cand_mask
-    allocated = jnp.zeros((n,), bool)
-
-    for _retry in range(INSERT_RETRIES):
-        # fused scan over probe rounds: find the row matching this key AND
-        # the first reusable cell (empty row, or row key marked INVALID)
-        claim_pos = jnp.full((n,), -1, jnp.int32)
-        hit_slot = jnp.full((n,), -1, jnp.int32)
-        hit_found = jnp.zeros((n,), bool)
-        for r in range(N_PROBES):
-            pos = _hash_cell(qhi, qlo, h1m, r)
-            row = index[pos]
-            hit = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) \
-                & ~hit_found
-            hit_slot = jnp.where(hit, row[:, 0], hit_slot)
-            hit_found = hit_found | hit
-            reusable = row[:, 0] < 0
-            claim_pos = jnp.where(reusable & (claim_pos < 0), pos, claim_pos)
-            # a row whose key matches but whose slot died IS this key's
-            # reusable home (same probe sequence) — claim it
-            claim_pos = jnp.where(hit & (claim_pos < 0), pos, claim_pos)
-
-        # liveness check: the row's slot must still hold this key (slots
-        # recycle; rows do not). Dead hits fall through to the claim.
-        hs_c = jnp.clip(hit_slot, 0, c - 1)
-        k = key_tbl[hs_c]
-        live = hit_found & (k[:, 0] == qhi) & (k[:, 1] == qlo) & ~resolved
-        slot = jnp.where(live, hit_slot, slot)
-        resolved = resolved | live
-
-        want = ~resolved & (claim_pos >= 0)
-        marker = jnp.full((index.shape[0],), BIG, jnp.int32)
-        marker = marker.at[jnp.where(want, claim_pos, index.shape[0])].min(
-            idxs, mode="drop")
-        leader = want & (marker[jnp.clip(claim_pos, 0, index.shape[0] - 1)] == idxs)
-        lead_rank = jnp.cumsum(leader.astype(jnp.int32)) - 1 + alloc_count
-        can = leader & (lead_rank < n_free) & (lead_rank < free_cap)
-        new_slot = jnp.where(can, free_slots[jnp.clip(lead_rank, 0, free_cap - 1)], -1)
-        tgt = jnp.where(can, new_slot, c)
-        key_tbl = _set_rows(key_tbl, tgt, [qhi, qlo])
-        ipos = jnp.where(can, claim_pos, index.shape[0])
-        index = _set_rows(index, ipos, [new_slot, qh_i, ql_i])
-        alloc_count = alloc_count + jnp.sum(can.astype(jnp.int32))
-        slot = jnp.where(can, new_slot, slot)
-        resolved = resolved | can
-        allocated = allocated | can
-
-        # same-cell recheck: duplicates of a just-allocated key re-read the
-        # cell they contended for and resolve immediately
-        cp_c = jnp.clip(claim_pos, 0, index.shape[0] - 1)
-        row2 = index[cp_c]
-        hit2 = (claim_pos >= 0) & (row2[:, 0] >= 0) \
-            & (row2[:, 1] == qh_i) & (row2[:, 2] == ql_i) & ~resolved
-        slot = jnp.where(hit2, row2[:, 0], slot)
-        resolved = resolved | hit2
-
-    return index, key_tbl, slot, allocated
-
-
-def _free_slot_list(valid: jax.Array, cap_out: int):
-    c = valid.shape[0]
-    free = ~valid
-    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    out = jnp.full((cap_out,), -1, jnp.int32)
-    pos = jnp.where(free & (rank < cap_out), rank, cap_out - 1)
-    out = out.at[pos].max(jnp.where(free & (rank < cap_out),
-                                    jnp.arange(c, dtype=jnp.int32), -1),
-                          mode="drop")
-    return out, jnp.sum(free.astype(jnp.int32))
-
-
-def _compact_mask(mask: jax.Array, cap: int):
-    """Compact the True positions of `mask` into a (cap,) index list."""
+def _compact(mask: jax.Array, cap: int):
+    """Indices of True positions, compacted to (cap,) (-1 padded).
+    Sort-based: a 16k sort is ~10 us on v5e while an equivalent scatter
+    costs 0.1-1 ms. Requires cap <= len(mask)."""
     n = mask.shape[0]
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    keep = mask & (rank < cap)
-    out = jnp.full((cap,), -1, jnp.int32)
-    pos = jnp.where(keep, rank, cap - 1)
-    out = out.at[pos].max(jnp.where(keep, jnp.arange(n, dtype=jnp.int32), -1),
-                          mode="drop")
-    return out, jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, idx, jnp.int32(n))
+    s = jax.lax.sort(key)
+    out = s[:min(cap, n)]
+    if cap > n:
+        out = jnp.concatenate([out, jnp.full((cap - n,), n, jnp.int32)])
+    return jnp.where(out < n, out, -1), jnp.sum(mask.astype(jnp.int32))
+
+
+def _claim_round(index, meta, free, top, qhi, qlo, want, find=None):
+    """Allocate slots + index cells for wanted keys (all arrays (M,)).
+    Keys are deduped (sort), ranked per bucket (sort), and claim the
+    rank-th empty cell of their bucket. Wanted keys that already exist
+    resolve as hits (duplicates of a previous round's winner).
+    Returns (index, meta, top, slot (M,), claimed (M,), allocated (M,),
+    n_failed)."""
+    m = qhi.shape[0]
+    c = meta.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    slot0, hit, b, empty = _bucket_find(index, qhi, qlo) if find is None else find
+    resolved = hit & want
+    slot = jnp.where(resolved, slot0, -1)
+    cand = want & ~resolved
+
+    # --- dedupe identical keys: sort by (hi, lo); leader = first of group
+    skey_hi = jnp.where(cand, qhi, jnp.uint32(0xFFFFFFFF))
+    skey_lo = jnp.where(cand, qlo, jnp.uint32(0xFFFFFFFF))
+    s_hi, s_lo, s_idx = jax.lax.sort((skey_hi, skey_lo, idx), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             ~((s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]))])
+    s_cand = cand[s_idx]
+    leader_s = first & s_cand
+    leader = jnp.zeros((m,), bool).at[s_idx].set(leader_s)
+
+    # --- rank leaders within their bucket: sort by (bucket, idx)
+    bkey = jnp.where(leader, b, jnp.int32(index.shape[0]))
+    b_s, bidx = jax.lax.sort((bkey, idx), num_keys=1)
+    bfirst = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    pos_in = jnp.arange(m, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(bfirst, pos_in, 0))
+    brank_s = pos_in - start
+    brank = jnp.zeros((m,), jnp.int32).at[bidx].set(brank_s)
+
+    # --- cell = brank-th empty cell of the bucket
+    ecnt = jnp.cumsum(empty.astype(jnp.int32), axis=1)
+    sel = empty & (ecnt == (brank + 1)[:, None])
+    has_cell = leader & jnp.any(sel, axis=1)
+    cell = jnp.argmax(sel, axis=1).astype(jnp.int32)
+
+    # --- pop free slots
+    arank = jnp.cumsum(has_cell.astype(jnp.int32)) - 1
+    can = has_cell & (arank < top)
+    new_slot = free[jnp.clip(top - 1 - arank, 0, free.shape[0] - 1)]
+    new_slot = jnp.where(can, new_slot, -1)
+    n_alloc = jnp.sum(can.astype(jnp.int32))
+
+    # --- writes (index cells are unique by construction)
+    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
+    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
+    flat = index.reshape(-1)
+    base = b * ROW + cell
+    tgt = jnp.where(can, base, flat.shape[0])
+    flat = flat.at[tgt].set(new_slot, mode="drop")
+    flat = flat.at[jnp.where(can, base + BUCKET, flat.shape[0])].set(
+        qh_i, mode="drop")
+    flat = flat.at[jnp.where(can, base + 2 * BUCKET, flat.shape[0])].set(
+        ql_i, mode="drop")
+    index = flat.reshape(index.shape)
+    mt = jnp.where(can, new_slot, c)
+    meta = meta.at[mt, 0].set(qh_i, mode="drop")
+    meta = meta.at[mt, 1].set(ql_i, mode="drop")
+    meta = meta.at[mt, 2].set(-1, mode="drop")
+    meta = meta.at[mt, 3].set(b * BUCKET + cell, mode="drop")
+
+    slot = jnp.where(can, new_slot, slot)
+    claimed = resolved | can
+    n_failed = jnp.sum((cand & leader & ~can).astype(jnp.int32))
+    return index, meta, top - n_alloc, slot, claimed, can, n_failed
+
+
+def _insert_keys(index, meta, free, top, qhi, qlo, want, cap2: int,
+                 find=None):
+    """Resolve-or-allocate slots for (N,) keys: one claim round on all
+    candidates (reusing a precomputed find when given), then a compacted
+    second round (cap2) for duplicates and spillover. Returns
+    (index, meta, top, slot (N,), allocated (N,), n_dropped)."""
+    n = qhi.shape[0]
+    index, meta, top, slot, resolved, allocated, _f1 = _claim_round(
+        index, meta, free, top, qhi, qlo, want, find=find)
+
+    # round 2 (compacted): duplicate losers re-find their winner's slot;
+    # bucket-spillover leaders claim the next empty cells
+    rem_idx, n_rem = _compact(want & ~resolved, cap2)
+    rem_ok = rem_idx >= 0
+    ri = jnp.clip(rem_idx, 0, n - 1)
+    r_hi = jnp.where(rem_ok, qhi[ri], K.INVALID_HI)
+    r_lo = jnp.where(rem_ok, qlo[ri], K.INVALID_LO)
+    index, meta, top, slot2, claimed2, alloc2, f2 = _claim_round(
+        index, meta, free, top, r_hi, r_lo, rem_ok)
+    wr = jnp.where(rem_ok & claimed2, ri, n)
+    slot = slot.at[wr].set(slot2, mode="drop")
+    allocated = allocated.at[jnp.where(rem_ok & alloc2, ri, n)].set(
+        True, mode="drop")
+    n_drop = f2 + jnp.maximum(n_rem - cap2, 0)
+    return index, meta, top, slot, allocated, n_drop
 
 
 def _child_offset_of(coords: jax.Array) -> jax.Array:
@@ -286,32 +281,57 @@ def _child_offset_of(coords: jax.Array) -> jax.Array:
     return (m[..., 0] * 3 + m[..., 1]) * 3 + m[..., 2]
 
 
-def _surfel_stats_from_children(l0_key, l0_sum, l0_count, l1_children,
-                                cell_key, aff_slot, aff_ok,
-                                hierarchy_factor: int):
-    """Gather the (A, 27) child slots of the given L1 slots and compute
-    (count, mean, cov) over their centroids (reference VoxelMap.cpp:207-236).
-    Every child entry is verified: its key's parent must equal the cell's
-    key (slot reuse can leave stale entries; this makes them inert)."""
-    c0 = l0_count.shape[0]
-    kids = l1_children[jnp.clip(aff_slot, 0, l1_children.shape[0] - 1)]
+def _erase_cells(index, cellpos, ok):
+    """Erase the slot column of the given cells (index stays exact)."""
+    flat = index.reshape(-1)
+    tgt = jnp.where(ok, (cellpos >> 3) * ROW + (cellpos & 7), flat.shape[0])
+    return flat.at[tgt].set(-1, mode="drop").reshape(index.shape)
+
+
+def _free_l0(meta, data, free, top, slots, ok):
+    """Invalidate + zero + push freed L0 slots (index erased separately)."""
+    c = meta.shape[0]
+    t = jnp.where(ok, slots, c)
+    meta = meta.at[t, 0].set(INVALID_I32, mode="drop")
+    meta = meta.at[t, 1].set(INVALID_I32, mode="drop")
+    for w in range(4):
+        data = data.at[t, w].set(0.0, mode="drop")
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    free = free.at[jnp.where(ok, top + rank, free.shape[0])].set(
+        slots, mode="drop")
+    return meta, data, free, top + jnp.sum(ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# surfel math
+# ---------------------------------------------------------------------------
+
+def _child_stats(l0_data, l1_children, aff_slot, aff_ok):
+    """(A,) affected L1 slots -> per-cell child stats over live children
+    (reference VoxelMap.cpp:207-236). No verification gather is needed:
+    the index is exact and child-list entries are removed synchronously
+    whenever a slot is freed (eviction + non-planar deletion), so a live
+    entry always references its own voxel. count > 0 is kept as a cheap
+    belt-and-suspenders mask."""
+    c0 = l0_data.shape[0]
+    c1 = l1_children.shape[0]
+    kids = l1_children[jnp.clip(aff_slot, 0, c1 - 1)]        # (A, 27)
     kids = jnp.where(aff_ok[:, None], kids, -1)
     kc = jnp.clip(kids, 0, c0 - 1)
-    ck = l0_key[kc]                      # (A, 27, 2)
-    ccoords = K.unpack_key(ck[..., 0], ck[..., 1])
-    cpar = K.parent_coords(ccoords, hierarchy_factor)
-    cphi, cplo = K.pack_key(cpar)
-    ok = (kids >= 0) & (l0_count[kc] > 0) \
-        & (cphi == cell_key[:, None, 0]) & (cplo == cell_key[:, None, 1])
+    kdata = l0_data[kc]                                      # (A, 27, 4)
+    ok = (kids >= 0) & (kdata[..., 0] > 0.0)
     cnt = jnp.sum(ok.astype(jnp.int32), axis=1)
-    cen = l0_sum[kc] / jnp.maximum(l0_count[kc], 1)[..., None].astype(jnp.float32)
+    cen = kdata[..., 1:4] / jnp.maximum(kdata[..., 0:1], 1.0)
     w = ok.astype(jnp.float32)[..., None]
-    s1 = jnp.sum(cen * w, axis=1)
-    mean = s1 / jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+    mean = jnp.sum(cen * w, axis=1) / jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
     d = (cen - mean[:, None, :]) * w
     cov = jnp.einsum("aky,akz->ayz", d, d) / jnp.maximum(cnt, 1)[:, None, None].astype(jnp.float32)
     return cnt, mean, cov, kids, ok
 
+
+# ---------------------------------------------------------------------------
+# update
+# ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("hierarchy_factor", "compute_surfels"))
 def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
@@ -319,201 +339,275 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                planarity_threshold, hierarchy_factor: int = 3,
                compute_surfels: bool = True) -> VoxelMapState:
     """Per-keyframe map update (reference VoxelMap::UpdateVoxelMap,
-    VoxelMap.cpp:128-262) as a sort-free scatter program."""
-    c0 = state.l0_count.shape[0]
-    c1 = state.l1_child_count.shape[0]
-    f32 = jnp.float32
+    VoxelMap.cpp:128-262) as a sort+gather/scatter program."""
+    c0 = state.l0_meta.shape[0]
+    c1 = state.l1_meta.shape[0]
     p = new_pts.shape[0]
-    INVAL = jnp.asarray([K.INVALID_HI, K.INVALID_LO], jnp.uint32)
+    f32 = jnp.float32
 
-    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158) ----
-    centroid = state.l0_sum / jnp.maximum(state.l0_count, 1)[:, None].astype(f32)
-    valid0 = state.l0_count > 0
+    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), cond-gated ----
+    cnt0 = state.l0_data[:, 0]
+    valid0 = cnt0 > 0.0
+    centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt0, 1.0)[:, None]
     dist_sq = jnp.sum((centroid - sensor_pos[None, :]) ** 2, axis=-1)
     evict = valid0 & (dist_sq > max_distance * max_distance)
-    keep = valid0 & ~evict
 
-    # evicted voxels leave their parents' child lists (the parents appear
-    # in the affected set below so their counts/surfels refresh). The whole
-    # path is skipped when nothing evicts (scalar cond — common when the
-    # sensor barely moved since the last keyframe).
-    # cheap vector-masking of the evicted slots runs unconditionally (a
-    # where over the tables costs ~0.05 ms; cond-copying them costs more);
-    # only the probe/child-list surgery is conditional.
-    l0_key = jnp.where(keep[:, None], state.l0_key, INVAL)
-    l0_sum = jnp.where(keep[:, None], state.l0_sum, 0.0)
-    l0_count = jnp.where(keep, state.l0_count, 0)
-
-    def do_evict(_):
-        ev_list, _n = _compact_mask(evict, EVICT_CAP)
+    def do_evict(args):
+        index, meta, data, children, free, top = args
+        ev_list, _ = _compact(evict, EVICT_CAP)
         ev_ok = ev_list >= 0
-        ev_slot = jnp.clip(ev_list, 0, c0 - 1)
-        ekey = state.l0_key[ev_slot]
-        ev_coords = K.unpack_key(ekey[:, 0], ekey[:, 1])
-        ev_par = K.parent_coords(ev_coords, hierarchy_factor)
-        ephi, eplo = K.pack_key(ev_par)
-        ep_slot = _probe(state.l1_index, state.l1_key,
-                         jnp.where(ev_ok, ephi, K.INVALID_HI),
-                         jnp.where(ev_ok, eplo, K.INVALID_LO))
-        ev_off = _child_offset_of(ev_coords)
-        has_par = ev_ok & (ep_slot >= 0)
-        ch = state.l1_children.at[
-            jnp.where(has_par, ep_slot, c1), jnp.where(has_par, ev_off, 0)].set(
+        ev = jnp.clip(ev_list, 0, c0 - 1)
+        emeta = meta[ev]
+        index = _erase_cells(index, emeta[:, 3], ev_ok)
+        ecoords = K.unpack_key(
+            jax.lax.bitcast_convert_type(emeta[:, 0], jnp.uint32),
+            jax.lax.bitcast_convert_type(emeta[:, 1], jnp.uint32))
+        eoff = _child_offset_of(ecoords)
+        par = emeta[:, 2]
+        has_par = ev_ok & (par >= 0)
+        children = children.at[
+            jnp.where(has_par, par, c1), jnp.where(has_par, eoff, 0)].set(
             -1, mode="drop")
-        return ch, jnp.where(has_par, ep_slot, -1)
+        meta, data, free, top = _free_l0(meta, data, free, top, ev, ev_ok)
+        return index, meta, data, children, free, top, \
+            jnp.where(has_par, par, -1)
 
-    def no_evict(_):
-        return state.l1_children, jnp.full((EVICT_CAP,), -1, jnp.int32)
+    def no_evict(args):
+        index, meta, data, children, free, top = args
+        return index, meta, data, children, free, top, \
+            jnp.full((EVICT_CAP,), -1, jnp.int32)
 
-    l1_children, evpar_slots = jax.lax.cond(
-        jnp.any(evict), do_evict, no_evict, None)
+    (l0_index, l0_meta, l0_data, l1_children, l0_free, l0_top,
+     evpar) = jax.lax.cond(
+        jnp.any(evict), do_evict, no_evict,
+        (state.l0_index, state.l0_meta, state.l0_data, state.l1_children,
+         state.l0_free, state.l0_free_top))
 
-    # ---- Step 2: insert new points (AddPoint, VoxelMap.cpp:99-120) ----
+    # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size
     pcoords = K.voxel_coords(new_pts, inv)
     phi, plo = K.pack_key(pcoords)
     phi = jnp.where(new_mask, phi, K.INVALID_HI)
     plo = jnp.where(new_mask, plo, K.INVALID_LO)
-    l0_index, l0_key, slot, l0_new = _insert_keys(
-        state.l0_index, l0_key, l0_count > 0, phi, plo, new_mask, free_cap=p)
-    placed = slot >= 0
-    tgt = jnp.where(placed, slot, c0)
-    for _w in range(3):
-        l0_sum = l0_sum.at[tgt, _w].add(
-            jnp.where(placed, new_pts[:, _w], 0.0), mode="drop")
-    l0_count = l0_count.at[tgt].add(placed.astype(jnp.int32), mode="drop")
-    n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
 
-    # ---- Step 3: parents of new points; register new children
-    # (RegisterToParent, VoxelMap.cpp:77-80) ----
-    npar = K.parent_coords(pcoords, hierarchy_factor)
-    nphi, nplo = K.pack_key(npar)
-    nphi = jnp.where(new_mask & placed, nphi, K.INVALID_HI)
-    nplo = jnp.where(new_mask & placed, nplo, K.INVALID_LO)
-    l1_index, l1_key, par_slot, l1_new = _insert_keys(
-        state.l1_index, state.l1_key, state.l1_child_count > 0,
-        nphi, nplo, new_mask & placed, free_cap=AFFECTED_CAP)
-    l1_children = l1_children.at[jnp.where(l1_new, par_slot, c1)].set(
-        -1, mode="drop")
-    # a reallocated slot must not inherit the previous occupant's surfel
-    l1_surfel_work = state.l1_surfel.at[
-        jnp.where(l1_new, par_slot, c1), 7].set(0.0, mode="drop")
-    ch_off = _child_offset_of(pcoords)
-    reg = l0_new & (par_slot >= 0)
-    l1_children = l1_children.at[
-        jnp.where(reg, par_slot, c1), jnp.where(reg, ch_off, 0)].set(
-        jnp.where(reg, slot, -1), mode="drop")
+    # shared round-1 find sizes the tier (reused inside the branch)
+    find0 = _bucket_find(l0_index, phi, plo)
+    n_unres = jnp.sum((new_mask & ~(find0[1] & new_mask)).astype(jnp.int32))
 
-    # ---- Step 4: affected set = parents of new points + evicted parents ----
-    cand_slot = jnp.concatenate([par_slot, evpar_slots])
-    cand_isnew = jnp.concatenate([jnp.ones((p,), bool), jnp.zeros((EVICT_CAP,), bool)])
-    cand_ok = cand_slot >= 0
-    nidx = jnp.arange(cand_slot.shape[0], dtype=jnp.int32)
-    BIG = jnp.iinfo(jnp.int32).max
-    own = jnp.full((c1,), BIG, jnp.int32)
-    own = own.at[jnp.where(cand_ok, cand_slot, c1)].min(nidx, mode="drop")
-    leader = cand_ok & (own[jnp.clip(cand_slot, 0, c1 - 1)] == nidx)
-    touched_new = jnp.zeros((c1,), bool).at[
-        jnp.where(cand_ok & cand_isnew, cand_slot, c1)].max(True, mode="drop")
-    lead_list, _ = _compact_mask(leader, AFFECTED_CAP)
-    aff_ok = lead_list >= 0
-    aff_slot = jnp.where(
-        aff_ok, cand_slot[jnp.clip(lead_list, 0, cand_slot.shape[0] - 1)], -1)
-    aff_slot_c = jnp.clip(aff_slot, 0, c1 - 1)
-    aff_is_new = touched_new[aff_slot_c] & aff_ok
+    def tier(new_cap: int, aff_cap: int):
+        def run(args):
+            (l0_index, l0_meta, l0_data, l0_free, l0_top,
+             l1_index, l1_meta, l1_last, l1_surfel, l1_children,
+             l1_free, l1_top, n_dropped) = args
 
-    # ---- Step 5: child stats + surfel decisions ----
-    cell_key = l1_key[aff_slot_c]
-    cnt, mean, cov, kids, kids_ok = _surfel_stats_from_children(
-        l0_key, l0_sum, l0_count, l1_children, cell_key, aff_slot, aff_ok,
-        hierarchy_factor)
+            # ---- Step 3: L0 resolve-or-alloc (AddPoint, VoxelMap.cpp:99-120)
+            l0_index, l0_meta, l0_top, slot, l0_new, nd0 = _insert_keys(
+                l0_index, l0_meta, l0_free, l0_top, phi, plo, new_mask,
+                cap2=new_cap, find=find0)
+            n_dropped = n_dropped + nd0
 
-    srow = l1_surfel_work[aff_slot_c]
-    prev_has = aff_ok & (srow[:, 7] > 0.5)
-    prev_last = state.l1_last_count[aff_slot_c]
+            # ---- Step 4: accumulate points into their voxels ----
+            placed = slot >= 0
+            t = jnp.where(placed, slot, c0)
+            pl = placed.astype(f32)
+            l0_data_ = l0_data.at[t, 0].add(pl, mode="drop")
+            for w in range(3):
+                l0_data_ = l0_data_.at[t, w + 1].add(
+                    jnp.where(placed, new_pts[:, w], 0.0), mode="drop")
+            l0_data = l0_data_
 
-    l1_surfel = l1_surfel_work
-    l1_planarity = state.l1_planarity
-    l1_last = state.l1_last_count
+            # ---- Step 5: parents of NEW voxels (RegisterToParent,
+            # VoxelMap.cpp:77-80) — compacted to the tier cap ----
+            new_idx, n_new = _compact(l0_new, new_cap)
+            n_dropped = n_dropped + jnp.maximum(n_new - new_cap, 0)
+            new_ok = new_idx >= 0
+            ni = jnp.clip(new_idx, 0, p - 1)
+            ncoords = pcoords[ni]
+            npar = K.parent_coords(ncoords, hierarchy_factor)
+            nphi, nplo = K.pack_key(npar)
+            nphi = jnp.where(new_ok, nphi, K.INVALID_HI)
+            nplo = jnp.where(new_ok, nplo, K.INVALID_LO)
+            l1_index, l1_meta, l1_top, par_slot, l1_new, nd1 = _insert_keys(
+                l1_index, l1_meta, l1_free, l1_top, nphi, nplo, new_ok,
+                cap2=new_cap)
+            n_dropped = n_dropped + nd1
+            # fresh L1 cells must not inherit a previous occupant's children
+            l1_children = l1_children.at[
+                jnp.where(l1_new, par_slot, c1)].set(-1, mode="drop")
 
-    if compute_surfels:
-        lam, normal = eigh3.eigh3(cov)
-        plan = lam[:, 0] / (lam[:, 2] + 1e-6)
-        enough = cnt >= MIN_OCCUPIED_CHILDREN
-        skip = prev_has & (prev_last == cnt)          # VoxelMap.cpp:203
-        recompute = aff_is_new & aff_ok & enough & ~skip
-        non_planar = recompute & (plan > planarity_threshold)
-        use_new = recompute & ~non_planar
-        has_out = jnp.where(aff_is_new,
-                            jnp.where(enough, skip | use_new, False),
-                            prev_has & enough)
+            reg = new_ok & (par_slot >= 0)
+            new_slot = jnp.where(new_ok, slot[ni], -1)
+            ch_off = _child_offset_of(ncoords)
+            l1_children = l1_children.at[
+                jnp.where(reg, par_slot, c1),
+                jnp.where(reg, ch_off, 0)].set(
+                jnp.where(reg, new_slot, -1), mode="drop")
+            l0_meta = l0_meta.at[
+                jnp.where(reg, jnp.clip(new_slot, 0, c0 - 1), c0), 2].set(
+                par_slot, mode="drop")
 
-        # ---- non-planar deletion (VoxelMap.cpp:244-253) ----
-        del_children = kids_ok & non_planar[:, None]
-        dslot = jnp.where(del_children, kids, c0).reshape(-1)
-        l0_count = l0_count.at[dslot].set(0, mode="drop")
-        l0_key = _set_rows(l0_key, dslot,
-                           [jnp.full_like(dslot, K.INVALID_HI, dtype=jnp.uint32),
-                            jnp.full_like(dslot, K.INVALID_LO, dtype=jnp.uint32)])
-        l1_children = l1_children.at[jnp.where(non_planar, aff_slot, c1)].set(
-            -1, mode="drop")
-        n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
-        cnt = jnp.where(non_planar, 0, cnt)
-        has_out = has_out & ~non_planar
-    else:
-        normal = jnp.zeros_like(mean)
-        plan = jnp.ones((AFFECTED_CAP,), f32)
-        use_new = jnp.zeros((AFFECTED_CAP,), bool)
-        has_out = jnp.zeros((AFFECTED_CAP,), bool)
+            # ---- Step 6: affected set = new-child parents + evicted
+            # parents, deduped by sort ----
+            cand_slot = jnp.concatenate([jnp.where(reg, par_slot, c1),
+                                         jnp.where(evpar >= 0, evpar, c1)])
+            cand_new = jnp.concatenate([jnp.ones((new_cap,), bool),
+                                        jnp.zeros((EVICT_CAP,), bool)])
+            m2 = cand_slot.shape[0]
+            # sort by (slot, ~is_new) so each group's leader carries is_new
+            skey2 = cand_slot * 2 + (1 - cand_new.astype(jnp.int32))
+            s2, si2 = jax.lax.sort(
+                (skey2, jnp.arange(m2, dtype=jnp.int32)), num_keys=1)
+            s_slot = s2 >> 1
+            lead2 = jnp.concatenate([jnp.ones((1,), bool),
+                                     s_slot[1:] != s_slot[:-1]]) & (s_slot < c1)
+            lead_pos, _ = _compact(lead2, aff_cap)
+            aff_ok = lead_pos >= 0
+            lp = jnp.clip(lead_pos, 0, m2 - 1)
+            aff_slot = jnp.where(aff_ok, s_slot[lp], -1)
+            aff_new = jnp.where(aff_ok, (s2[lp] & 1) == 0, False)
 
-    # ---- Step 6: write back affected cells ----
-    wslot = jnp.where(aff_ok, aff_slot, c1)
-    l1_child_count = state.l1_child_count.at[wslot].set(cnt, mode="drop")
-    keep_payload = jnp.where(use_new[:, None], jnp.concatenate([normal, mean], axis=-1),
+            # ---- Step 7: child stats + surfel decisions
+            # (VoxelMap.cpp:187-261) ----
+            cnt, mean, cov, kids, kids_ok = _child_stats(
+                l0_data, l1_children, aff_slot, aff_ok)
+            aff_c = jnp.clip(aff_slot, 0, c1 - 1)
+            srow = l1_surfel[aff_c]
+            prev_has = aff_ok & (srow[:, 7] > 0.5)
+            prev_last = l1_last[aff_c]
+
+            if compute_surfels:
+                lam, normal = eigh3.eigh3(cov)
+                plan = lam[:, 0] / (lam[:, 2] + 1e-6)
+                enough = cnt >= MIN_OCCUPIED_CHILDREN
+                skip = prev_has & (prev_last == cnt)      # VoxelMap.cpp:203
+                recompute = aff_new & aff_ok & enough & ~skip
+                non_planar = recompute & (plan > planarity_threshold)
+                # bound deletions so every freed child is fully processed
+                npr = jnp.cumsum(non_planar.astype(jnp.int32)) - 1
+                defer = non_planar & (npr >= aff_cap // 27)
+                non_planar = non_planar & ~defer
+                use_new = recompute & ~non_planar & ~defer
+                has_out = jnp.where(aff_new,
+                                    jnp.where(enough, skip | use_new, False),
+                                    prev_has & enough)
+
+                # ---- non-planar deletion (VoxelMap.cpp:244-253),
+                # cond-gated: rare in steady state ----
+                def do_delete(a):
+                    l0_index, l0_meta, l0_data, l0_free, l0_top, l1_children = a
+                    delk = kids_ok & non_planar[:, None]
+                    dk_list, _ = _compact(delk.reshape(-1), aff_cap)
+                    dk_ok = dk_list >= 0
+                    dkc = jnp.clip(dk_list, 0, kids.size - 1)
+                    dslot = jnp.where(dk_ok, kids.reshape(-1)[dkc], c0)
+                    ds_c = jnp.clip(dslot, 0, c0 - 1)
+                    dcell = l0_meta[ds_c, 3]
+                    l0_index = _erase_cells(l0_index, dcell,
+                                            dk_ok & (dslot < c0))
+                    l0_meta, l0_data, l0_free, l0_top = _free_l0(
+                        l0_meta, l0_data, l0_free, l0_top,
+                        ds_c, dk_ok & (dslot < c0))
+                    l1_children = l1_children.at[
+                        jnp.where(non_planar, aff_slot, c1)].set(
+                        -1, mode="drop")
+                    return (l0_index, l0_meta, l0_data, l0_free, l0_top,
+                            l1_children)
+
+                (l0_index, l0_meta, l0_data, l0_free, l0_top,
+                 l1_children) = jax.lax.cond(
+                    jnp.any(non_planar), do_delete, lambda a: a,
+                    (l0_index, l0_meta, l0_data, l0_free, l0_top,
+                     l1_children))
+                cnt = jnp.where(non_planar, 0, cnt)
+                has_out = has_out & ~non_planar
+            else:
+                normal = jnp.zeros_like(mean)
+                plan = jnp.ones((aff_cap,), f32)
+                use_new = jnp.zeros((aff_cap,), bool)
+                has_out = jnp.zeros((aff_cap,), bool)
+
+            # ---- write back affected cells ----
+            wslot = jnp.where(aff_ok, aff_slot, c1)
+            l1_meta = l1_meta.at[wslot, 2].set(cnt, mode="drop")
+            l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(
+                cnt, mode="drop")
+            keep = jnp.where(use_new[:, None],
+                             jnp.concatenate([normal, mean], axis=-1),
                              srow[:, :6])
-    rows = jnp.concatenate(
-        [keep_payload[:, :6],
-         jnp.where(use_new, plan, srow[:, 6])[:, None],
-         has_out.astype(f32)[:, None]], axis=-1)
-    l1_surfel = _set_rows(l1_surfel, wslot, [rows[:, _w] for _w in range(8)])
-    l1_planarity = l1_planarity.at[jnp.where(use_new, wslot, c1)].set(
-        plan, mode="drop")
-    l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(cnt, mode="drop")
+            rows = jnp.concatenate(
+                [keep,
+                 jnp.where(use_new, plan, srow[:, 6])[:, None],
+                 has_out.astype(f32)[:, None]], axis=-1)
+            for w in range(8):
+                l1_surfel = l1_surfel.at[wslot, w].set(rows[:, w], mode="drop")
 
-    # free emptied cells: key -> INVALID recycles both slot and index cell
-    freed = aff_ok & (cnt == 0)
-    fpos = jnp.where(freed, wslot, c1)
-    l1_key = _set_rows(l1_key, fpos,
-                       [jnp.full_like(fpos, K.INVALID_HI, dtype=jnp.uint32),
-                        jnp.full_like(fpos, K.INVALID_LO, dtype=jnp.uint32)])
+            # ---- free emptied L1 cells (cond-gated: only happens after
+            # evictions or deletions) ----
+            freed = aff_ok & (cnt == 0)
 
-    n_l1 = jnp.sum((l1_child_count > 0).astype(jnp.int32))
+            def do_free_l1(a):
+                l1_index, l1_meta, l1_free, l1_top = a
+                fslot = jnp.where(freed, aff_slot, c1)
+                fc = jnp.clip(fslot, 0, c1 - 1)
+                l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
+                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
+                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                l1_free = l1_free.at[
+                    jnp.where(freed, l1_top + frank, c1)].set(
+                    jnp.where(freed, aff_slot, -1), mode="drop")
+                return (l1_index, l1_meta, l1_free,
+                        l1_top + jnp.sum(freed.astype(jnp.int32)))
+
+            l1_index, l1_meta, l1_free, l1_top = jax.lax.cond(
+                jnp.any(freed), do_free_l1, lambda a: a,
+                (l1_index, l1_meta, l1_free, l1_top))
+
+            return (l0_index, l0_meta, l0_data, l0_free, l0_top,
+                    l1_index, l1_meta, l1_last, l1_surfel, l1_children,
+                    l1_free, l1_top, n_dropped)
+        return run
+
+    args = (l0_index, l0_meta, l0_data, l0_free, l0_top,
+            state.l1_index, state.l1_meta, state.l1_last, state.l1_surfel,
+            l1_children, state.l1_free, state.l1_free_top, state.n_dropped)
+    (l0_index, l0_meta, l0_data, l0_free, l0_top,
+     l1_index, l1_meta, l1_last, l1_surfel, l1_children, l1_free, l1_top,
+     n_dropped) = jax.lax.cond(
+        n_unres <= SMALL_CAP,
+        tier(SMALL_CAP, SMALL_CAP),
+        tier(p, 2 * SMALL_CAP),
+        args)
+
     return VoxelMapState(
-        l0_key=l0_key, l0_sum=l0_sum, l0_count=l0_count, l0_index=l0_index,
-        n_l0=n_l0,
-        l1_key=l1_key, l1_surfel=l1_surfel, l1_planarity=l1_planarity,
-        l1_children=l1_children, l1_child_count=l1_child_count,
-        l1_last_count=l1_last, l1_index=l1_index, n_l1=n_l1)
+        l0_meta=l0_meta, l0_data=l0_data, l0_index=l0_index,
+        l0_free=l0_free, l0_free_top=l0_top, n_l0=jnp.int32(c0) - l0_top,
+        l1_index=l1_index, l1_meta=l1_meta, l1_last=l1_last,
+        l1_surfel=l1_surfel, l1_children=l1_children, l1_free=l1_free,
+        l1_free_top=l1_top, n_l1=jnp.int32(c1) - l1_top, n_dropped=n_dropped)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("hierarchy_factor",))
 def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
                    hierarchy_factor: int = 3):
     """Batched surfel query (reference GetSurfelAtPoint,
-    VoxelMap.cpp:368-386): bounded hash probe + ONE packed row gather.
+    VoxelMap.cpp:368-386): ONE bucket gather + ONE payload row gather.
     Returns (normal (N,3), centroid (N,3), valid (N,))."""
     inv = 1.0 / (voxel_size * hierarchy_factor)
     coords = K.voxel_coords(pts, inv)
     qhi, qlo = K.pack_key(coords)
-    slot = _probe(state.l1_index, state.l1_key, qhi, qlo)
-    c1 = state.l1_child_count.shape[0]
-    slot_c = jnp.clip(slot, 0, c1 - 1)
-    row = state.l1_surfel[slot_c]
-    valid = (slot >= 0) & (row[:, 7] > 0.5)
+    slot, hit, _, _ = _bucket_find(state.l1_index, qhi, qlo)
+    c1 = state.l1_meta.shape[0]
+    row = state.l1_surfel[jnp.clip(slot, 0, c1 - 1)]
+    valid = hit & (row[:, 7] > 0.5)
     return row[:, 0:3], row[:, 3:6], valid
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size):
     """L0 centroids of each query's 3x3x3 voxel neighborhood (KD-tree-mode
     candidates, replacing nanoflann 5-NN,
@@ -524,13 +618,50 @@ def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size):
     nb = qc[:, None, :] + jnp.asarray(_NB_OFFS)[None, :, :]
     nhi, nlo = K.pack_key(nb)
     n, m = nhi.shape
-    slot = _probe(state.l0_index, state.l0_key, nhi.reshape(-1), nlo.reshape(-1))
-    c0 = state.l0_count.shape[0]
-    slot_c = jnp.clip(slot, 0, c0 - 1).reshape(n, m)
-    ok = (slot.reshape(n, m) >= 0) & (state.l0_count[slot_c] > 0)
-    cen = state.l0_sum[slot_c] / jnp.maximum(
-        state.l0_count[slot_c], 1)[..., None].astype(jnp.float32)
+    slot, hit, _, _ = _bucket_find(state.l0_index, nhi.reshape(-1),
+                                   nlo.reshape(-1))
+    c0 = state.l0_meta.shape[0]
+    sc = jnp.clip(slot, 0, c0 - 1)
+    data = state.l0_data[sc]
+    ok = hit.reshape(n, m) & (data[:, 0].reshape(n, m) > 0.0)
+    cen = (data[:, 1:4] / jnp.maximum(data[:, 0:1], 1.0)).reshape(n, m, 3)
     return cen, ok
+
+
+def l0_points(state: VoxelMapState):
+    """All L0 centroids + validity mask (reference GetPointCloud,
+    VoxelMap.cpp:388-403)."""
+    valid = state.l0_data[:, 0] > 0.0
+    centroid = state.l0_data[:, 1:4] / jnp.maximum(state.l0_data[:, 0], 1.0)[:, None]
+    return centroid, valid
+
+
+# ---------------------------------------------------------------------------
+# rehash (PGO correction)
+# ---------------------------------------------------------------------------
+
+def _bulk_index(keys_hi, keys_lo, live, n_buckets: int, slot_from_top: int):
+    """Assign slots + bucket cells for a set of DISTINCT live keys
+    (sort-based bulk build). Slots count down from slot_from_top-1 so the
+    free stack stays the identity prefix. Returns (slot (N,), cellpos (N,),
+    placed (N,), index rows scattered by the caller)."""
+    n = keys_hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    b = _hash_bucket(keys_hi, keys_lo, n_buckets - 1)
+    bkey = jnp.where(live, b, jnp.int32(n_buckets))
+    b_s, i_s = jax.lax.sort((bkey, idx), num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(first, pos, 0))
+    cell_s = pos - start
+    cell = jnp.zeros((n,), jnp.int32).at[i_s].set(cell_s)
+    placed = live & (cell < BUCKET)
+    rank = jnp.cumsum(placed.astype(jnp.int32)) - 1
+    slot = jnp.where(placed & (rank < slot_from_top),
+                     slot_from_top - 1 - rank, -1)
+    placed = slot >= 0
+    cellpos = jnp.where(placed, b * BUCKET + cell, -1)
+    return slot, cellpos, placed
 
 
 @partial(jax.jit, static_argnames=("hierarchy_factor",))
@@ -540,75 +671,157 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     """PGO correction: transform every L0 centroid, re-key, merge
     collisions by weighted centroid, recompute ALL surfels (reference
     ApplyTransformAndRehash + RecomputeAllSurfels, VoxelMap.cpp:264-366).
-    Rare op: full rebuild into a fresh map."""
-    c0 = state.l0_count.shape[0]
-    c1 = state.l1_child_count.shape[0]
-    f32 = jnp.float32
-    valid = state.l0_count > 0
-    cnt_f = jnp.maximum(state.l0_count, 1)[:, None].astype(f32)
-    centroid = state.l0_sum / cnt_f
-    R = T[:3, :3]
-    t = T[:3, 3]
+    Rare op: sort-based bulk rebuild into a fresh map."""
+    c0 = state.l0_meta.shape[0]
+    c1 = state.l1_meta.shape[0]
+    cnt = state.l0_data[:, 0]
+    live = cnt > 0.0
+    centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
+    R, t = T[:3, :3], T[:3, 3]
     new_centroid = centroid @ R.T + t[None, :]
-    new_sum = new_centroid * state.l0_count[:, None].astype(f32)
+    return bulk_build(new_centroid, cnt, live, c0, c1,
+                      voxel_size=voxel_size,
+                      planarity_threshold=planarity_threshold,
+                      hierarchy_factor=hierarchy_factor,
+                      n_dropped=state.n_dropped)
+
+
+@partial(jax.jit, static_argnames=("c0", "c1", "hierarchy_factor"))
+def bulk_build(centroids: jax.Array, counts: jax.Array, live: jax.Array,
+               c0: int, c1: int, *, voxel_size, planarity_threshold,
+               hierarchy_factor: int = 3,
+               n_dropped=jnp.int32(0)) -> VoxelMapState:
+    """Build a fresh map from (M,) weighted centroid records: merge
+    same-key records by weighted centroid, bulk-assign slots + bucket
+    cells by sort, recompute all surfels. Used by transform_and_rehash
+    and the sharded-map redistribution path (M may exceed c0; overflow
+    keys are dropped and counted)."""
+    m = counts.shape[0]
+    f32 = jnp.float32
+    cnt = jnp.where(live, counts, 0.0)
 
     inv = 1.0 / voxel_size
-    coords = K.voxel_coords(new_centroid, inv)
+    coords = K.voxel_coords(centroids, inv)
     hi, lo = K.pack_key(coords)
-    hi = jnp.where(valid, hi, K.INVALID_HI)
-    lo = jnp.where(valid, lo, K.INVALID_LO)
+    hi = jnp.where(live, hi, K.INVALID_HI)
+    lo = jnp.where(live, lo, K.INVALID_LO)
 
+    # merge same-key voxels: sort by key, segment-sum weighted centroids
+    idx = jnp.arange(m, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=2)
+    s_live = live[s_idx]
+    s_cnt = jnp.where(s_live, cnt[s_idx], 0.0)
+    s_sum = jnp.where(s_live[:, None], centroids[s_idx] * s_cnt[:, None], 0.0)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             ~((s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]))])
+    first = first & s_live
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    nseg = seg[-1] + 1
+    seg_t = jnp.where((seg >= 0) & (seg < c0) & s_live, seg, c0)
+    m_cnt = jnp.zeros((c0,), f32).at[seg_t].add(s_cnt, mode="drop")
+    m_sum = jnp.zeros((c0, 3), f32)
+    for w in range(3):
+        m_sum = m_sum.at[seg_t, w].add(s_sum[:, w], mode="drop")
+    # representative key per segment
+    m_hi = jnp.zeros((c0,), jnp.uint32).at[
+        jnp.where(first, seg_t, c0)].max(s_hi, mode="drop")
+    m_lo = jnp.zeros((c0,), jnp.uint32).at[
+        jnp.where(first, seg_t, c0)].max(s_lo, mode="drop")
+    m_live = jnp.arange(c0, dtype=jnp.int32) < jnp.minimum(nseg, c0)
+    n_dropped = n_dropped + jnp.maximum(nseg - c0, 0)
+
+    # ---- L0 bulk index ----
+    slot0, cellpos0, placed0 = _bulk_index(
+        jnp.where(m_live, m_hi, K.INVALID_HI),
+        jnp.where(m_live, m_lo, K.INVALID_LO),
+        m_live, _n_buckets(c0), c0)
     fresh = empty_map(c0, c1)
-    l0_index, l0_key, slot, _ = _insert_keys(
-        fresh.l0_index, fresh.l0_key, jnp.zeros((c0,), bool), hi, lo, valid,
-        free_cap=c0)
-    placed = slot >= 0
-    tgt = jnp.where(placed, slot, c0)
-    l0_sum = fresh.l0_sum
-    for _w in range(3):
-        l0_sum = l0_sum.at[tgt, _w].add(
-            jnp.where(placed, new_sum[:, _w], 0.0), mode="drop")
-    l0_count = fresh.l0_count.at[tgt].add(
-        jnp.where(placed, state.l0_count, 0), mode="drop")
-    n_l0 = jnp.sum((l0_count > 0).astype(jnp.int32))
+    l0_index = _write_bulk(fresh.l0_index, slot0, cellpos0, placed0, m_hi, m_lo)
+    st0 = jnp.where(placed0, slot0, c0)
+    l0_meta = fresh.l0_meta
+    l0_meta = l0_meta.at[st0, 0].set(
+        jax.lax.bitcast_convert_type(m_hi, jnp.int32), mode="drop")
+    l0_meta = l0_meta.at[st0, 1].set(
+        jax.lax.bitcast_convert_type(m_lo, jnp.int32), mode="drop")
+    l0_meta = l0_meta.at[st0, 3].set(cellpos0, mode="drop")
+    l0_data = fresh.l0_data
+    l0_data = l0_data.at[st0, 0].set(jnp.where(placed0, m_cnt, 0.0), mode="drop")
+    for w in range(3):
+        l0_data = l0_data.at[st0, w + 1].set(
+            jnp.where(placed0, m_sum[:, w], 0.0), mode="drop")
+    n0 = jnp.sum(placed0.astype(jnp.int32))
+    l0_top = jnp.int32(c0) - n0
 
-    par = K.parent_coords(coords, hierarchy_factor)
-    phi2, plo2 = K.pack_key(par)
-    phi2 = jnp.where(placed, phi2, K.INVALID_HI)
-    plo2 = jnp.where(placed, plo2, K.INVALID_LO)
-    l1_index, l1_key, par_slot, _ = _insert_keys(
-        fresh.l1_index, fresh.l1_key, jnp.zeros((c1,), bool), phi2, plo2,
-        placed, free_cap=c1)
-    ch_off = _child_offset_of(coords)
-    reg = placed & (par_slot >= 0)
+    # ---- L1 bulk: distinct parents of placed voxels ----
+    mcoords = K.unpack_key(m_hi, m_lo)
+    par = K.parent_coords(mcoords, hierarchy_factor)
+    par_hi, par_lo = K.pack_key(par)
+    par_hi = jnp.where(placed0, par_hi, K.INVALID_HI)
+    par_lo = jnp.where(placed0, par_lo, K.INVALID_LO)
+    ps_hi, ps_lo, ps_idx = jax.lax.sort(
+        (par_hi, par_lo, jnp.arange(c0, dtype=jnp.int32)), num_keys=2)
+    ps_live = placed0[ps_idx]
+    pfirst = jnp.concatenate([jnp.ones((1,), bool),
+                              ~((ps_hi[1:] == ps_hi[:-1]) & (ps_lo[1:] == ps_lo[:-1]))])
+    pfirst = pfirst & ps_live
+    pseg = jnp.cumsum(pfirst.astype(jnp.int32)) - 1
+    pseg_t = jnp.where((pseg >= 0) & (pseg < c1) & pfirst, pseg, c1)
+    u_hi = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_hi, mode="drop")
+    u_lo = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_lo, mode="drop")
+    npar_u = pseg[-1] + 1
+    u_live = jnp.arange(c1, dtype=jnp.int32) < jnp.minimum(npar_u, c1)
+    slot1, cellpos1, placed1 = _bulk_index(
+        jnp.where(u_live, u_hi, K.INVALID_HI),
+        jnp.where(u_live, u_lo, K.INVALID_LO),
+        u_live, _n_buckets(c1), c1)
+    l1_index = _write_bulk(fresh.l1_index, slot1, cellpos1, placed1, u_hi, u_lo)
+    st1 = jnp.where(placed1, slot1, c1)
+    l1_meta = fresh.l1_meta
+    l1_meta = l1_meta.at[st1, 0].set(
+        jax.lax.bitcast_convert_type(u_hi, jnp.int32), mode="drop")
+    l1_meta = l1_meta.at[st1, 1].set(
+        jax.lax.bitcast_convert_type(u_lo, jnp.int32), mode="drop")
+    l1_meta = l1_meta.at[st1, 3].set(cellpos1, mode="drop")
+
+    # register children: each placed voxel registers to its parent's slot
+    # (parent slot found by one bucket probe against the freshly built index)
+    pslot, phit, _, _ = _bucket_find(l1_index, par_hi, par_lo)
+    reg = placed0 & phit
+    l0_meta = l0_meta.at[jnp.where(reg, slot0, c0), 2].set(pslot, mode="drop")
+    ch_off = _child_offset_of(mcoords)
     l1_children = fresh.l1_children.at[
-        jnp.where(reg, par_slot, c1), jnp.where(reg, ch_off, 0)].set(
-        jnp.where(reg, slot, -1), mode="drop")
+        jnp.where(reg, pslot, c1), jnp.where(reg, ch_off, 0)].set(
+        jnp.where(reg, slot0, -1), mode="drop")
 
+    # ---- recompute ALL surfels (RecomputeAllSurfels, VoxelMap.cpp:304-366)
     all_slots = jnp.arange(c1, dtype=jnp.int32)
-    occupied = jnp.zeros((c1,), bool).at[
-        jnp.where(reg, par_slot, c1)].max(True, mode="drop")
-    cnt, mean, cov, _, _ = _surfel_stats_from_children(
-        l0_key, l0_sum, l0_count, l1_children, l1_key, all_slots, occupied,
-        hierarchy_factor)
+    occ = l1_meta[:, 0] != INVALID_I32
+    ccnt, mean, cov, _, _ = _child_stats(
+        l0_data, l1_children, all_slots, occ)
     lam, normal = eigh3.eigh3(cov)
     plan = lam[:, 0] / (lam[:, 2] + 1e-6)
-    has = occupied & (cnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
+    has = occ & (ccnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
     l1_surfel = jnp.concatenate(
         [normal, mean, plan[:, None], has.astype(f32)[:, None]], axis=-1)
-    n_l1 = jnp.sum((cnt > 0).astype(jnp.int32))
+    l1_meta = l1_meta.at[:, 2].set(jnp.where(occ, ccnt, l1_meta[:, 2]))
+    n1 = jnp.sum(placed1.astype(jnp.int32))
 
     return VoxelMapState(
-        l0_key=l0_key, l0_sum=l0_sum, l0_count=l0_count, l0_index=l0_index,
-        n_l0=n_l0,
-        l1_key=l1_key, l1_surfel=l1_surfel, l1_planarity=plan,
-        l1_children=l1_children, l1_child_count=cnt, l1_last_count=cnt,
-        l1_index=l1_index, n_l1=n_l1)
+        l0_meta=l0_meta, l0_data=l0_data, l0_index=l0_index,
+        l0_free=fresh.l0_free, l0_free_top=l0_top, n_l0=n0,
+        l1_index=l1_index, l1_meta=l1_meta, l1_last=jnp.where(occ, ccnt, 0),
+        l1_surfel=l1_surfel, l1_children=l1_children,
+        l1_free=fresh.l1_free, l1_free_top=jnp.int32(c1) - n1, n_l1=n1,
+        n_dropped=n_dropped)
 
 
-def l0_points(state: VoxelMapState):
-    """All L0 centroids + validity mask (reference GetPointCloud,
-    VoxelMap.cpp:388-403)."""
-    valid = state.l0_count > 0
-    centroid = state.l0_sum / jnp.maximum(state.l0_count, 1)[:, None].astype(jnp.float32)
-    return centroid, valid
+def _write_bulk(index, slot, cellpos, placed, hi, lo):
+    flat = index.reshape(-1)
+    big = flat.shape[0]
+    base = jnp.where(placed, (cellpos >> 3) * ROW + (cellpos & 7), big)
+    flat = flat.at[base].set(slot, mode="drop")
+    flat = flat.at[jnp.where(placed, base + BUCKET, big)].set(
+        jax.lax.bitcast_convert_type(hi, jnp.int32), mode="drop")
+    flat = flat.at[jnp.where(placed, base + 2 * BUCKET, big)].set(
+        jax.lax.bitcast_convert_type(lo, jnp.int32), mode="drop")
+    return flat.reshape(index.shape)

@@ -43,7 +43,12 @@ def plan_partition(n: int, n_blocks: int, loop_edges: Sequence[Tuple[int, int]])
     for a, b in loop_edges:
         seps.add(int(a))
         seps.add(int(b))
-    seps.discard(0)  # pose 0 stays interior of the first block (prior-pinned)
+    # Pose 0 stays interior of the first block (prior-pinned) UNLESS a loop
+    # edge references it — schur_partitioned_solve requires every loop-edge
+    # endpoint to be a separator, and loops back to keyframe 0 are the
+    # common loop-back-to-start case (ADVICE round-1 item 1).
+    if not any(0 in (int(a), int(b)) for a, b in loop_edges):
+        seps.discard(0)
     return sorted(seps)
 
 

@@ -1,19 +1,20 @@
-"""Multi-chip odometry step: the framework's full per-scan update jitted
-over a 2-D device mesh.
+"""Multi-chip odometry step: the full per-scan update jitted over a 2-D
+device mesh.
 
 Axes (SURVEY.md §2.4):
-  * `data`  — independent sequences batched for throughput (the
-    data-parallel axis; odometry within a sequence is inherently serial,
-    so cross-sequence batching is where device-level scans/s comes from);
-  * `map`   — slot-range shards of each sequence's voxel tables (the
-    tensor-parallel analog); the dense index grids are replicated.
+  * `data` — independent sequences batched for throughput (odometry within
+    a sequence is inherently serial, so cross-sequence batching is where
+    device-level scans/s comes from);
+  * `map`  — parent-hash shards of each sequence's voxel map (see
+    parallel/sharded_map.py): every shard is a self-contained single-chip
+    map owning the voxels whose parent cell hashes to it.
 
 One step = ICP iterations (per-shard surfel gather, psum of the 6x6
-normal equations over `map`) -> conditional keyframe map update
-(all_gather of slot shards -> the single-chip scatter-update -> re-shard;
-the all_gather is the round-1 update path — a slot-local distributed
-allocator replaces it later). Collectives ride ICI: psum + all_gather
-inside shard_map.
+normal equations over `map`) -> keyframe map update executed SHARD-LOCALLY
+on the owned subset of the scan. Per-keyframe communication is the
+O(scan) broadcast of points plus the psum'd 6x6 systems — no table
+movement (the round-1 version all-gathered every slot table per
+keyframe). Collectives ride ICI: psum inside shard_map.
 """
 from __future__ import annotations
 
@@ -24,50 +25,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import icp as icp_ops
 from ..ops import voxel_map as vm
 from ..utils import lie
-from .sharded_map import _REPLICATED, _local_lookup, map_specs
+from .sharded_map import _SCALARS, _local_view, _wrap_scalars, \
+    map_specs, owner_of_points
 
-__all__ = ["multichip_odometry_step", "batched_map_state", "shard_batched_state"]
+__all__ = ["multichip_odometry_step", "batched_sharded_map_state"]
 
 
-def batched_map_state(batch: int, c0: int, c1: int) -> vm.VoxelMapState:
-    """A batch of empty per-sequence maps: every array gains a leading
-    `data` dimension."""
-    one = vm.empty_map(c0, c1)
+def batched_sharded_map_state(batch: int, c0_total: int, c1_total: int,
+                              mesh: Mesh, data_axis: str = "data",
+                              map_axis: str = "map") -> vm.VoxelMapState:
+    """A batch of empty sharded maps: arrays (B, S*local, ...) sharded
+    P(data, map); scalars (B, S)."""
+    s = mesh.shape[map_axis]
+    local = vm.empty_map(c0_total // s, c1_total // s)
+
+    def rep(a):
+        if a.ndim == 0:
+            return jnp.broadcast_to(a, (batch, s)).copy()
+        tiled = jnp.tile(a, (s,) + (1,) * (a.ndim - 1)).reshape(
+            (s * a.shape[0],) + a.shape[1:])
+        return jnp.broadcast_to(tiled, (batch,) + tiled.shape).copy()
+
+    state = vm.VoxelMapState(*[rep(a) for a in tuple(local)])
+    specs = map_specs(map_axis, batch_axis=data_axis)
     return vm.VoxelMapState(*[
-        jnp.broadcast_to(a, (batch,) + a.shape).copy() for a in tuple(one)])
-
-
-def shard_batched_state(state: vm.VoxelMapState, mesh: Mesh) -> vm.VoxelMapState:
-    specs = map_specs("map", batch_axis="data")
-    return vm.VoxelMapState(*[
-        jax.device_put(a, NamedSharding(mesh, s))
-        for a, s in zip(tuple(state), tuple(specs))])
+        jax.device_put(a, NamedSharding(mesh, sp))
+        for a, sp in zip(tuple(state), tuple(specs))])
 
 
 def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
                             *, update_max_distance: float = 120.0,
-                            planarity_threshold: float = 0.1):
+                            planarity_threshold: float = 0.1,
+                            data_axis: str = "data", map_axis: str = "map"):
     """Build the jitted multi-chip step.
 
-    Returns step(state, pts, mask, T, is_keyframe) -> (T_new, state_new)
-    where state slot tables are (B, C, ...) sharded P('data','map'), grids
-    (B, G) sharded P('data'), pts (B, N, 3) sharded P('data')."""
+    Returns step(state, pts, mask, T, is_keyframe) -> (T_new, state_new):
+    state per batched_sharded_map_state, pts (B, N, 3) sharded P(data),
+    T (B, 4, 4), is_keyframe (B,). The keyframe update is expressed as a
+    masked update (a non-keyframe inserts nothing and evicts nothing) so
+    it vmaps over the sequence batch."""
+    n_shards = mesh.shape[map_axis]
 
-    def per_shard(state: vm.VoxelMapState, pts, mask, T, is_kf):
+    def per_shard(state, pts, mask, T, is_kf):
         def one_seq(st, p, m, T0, kf):
+            st = _local_view(st)
+
             def icp_iter(_, T_cur):
                 R, t = lie.se3_rt(T_cur)
                 p_world = p @ R.T + t[None, :]
-                normal, centroid, hit = _local_lookup(
-                    st.l1_key, st.l1_surfel, st.l1_index, p_world,
-                    cfg.voxel_size, cfg.hierarchy_factor, "map")
+                normal, centroid, hit = vm.lookup_surfels(
+                    st, p_world, voxel_size=cfg.voxel_size,
+                    hierarchy_factor=cfg.hierarchy_factor)
                 r = jnp.sum(normal * (p_world - centroid), axis=-1)
                 valid = hit & m & (jnp.abs(r) <= cfg.max_correspondence_distance)
                 w = valid.astype(jnp.float32)
                 a = normal @ R
                 J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
-                H = jax.lax.psum(J.T @ (J * w[:, None]), "map")
-                g = jax.lax.psum(J.T @ (w * r), "map")
+                H = jax.lax.psum(J.T @ (J * w[:, None]), map_axis)
+                g = jax.lax.psum(J.T @ (w * r), map_axis)
                 H = H + jnp.eye(6) * 1e-6
                 delta = jnp.linalg.solve(H, -g)
                 return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
@@ -75,41 +90,29 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
             T_new = jax.lax.fori_loop(0, cfg.max_iterations, icp_iter, T0)
             T_new = lie.se3_matrix(lie.so3_project(T_new[:3, :3]), T_new[:3, 3])
 
-            # ---- keyframe map update: gather slot shards, run the
-            # single-chip scatter update, keep my slice ----
-            def do_update(st_in):
-                full = vm.VoxelMapState(*[
-                    (arr if name in _REPLICATED or name.startswith("n_")
-                     else jax.lax.all_gather(arr, "map", tiled=True))
-                    for name, arr in zip(vm.VoxelMapState._fields, tuple(st_in))])
-                world = lie.transform_points(T_new, p)
-                updated = vm.update_map(
-                    full, world, m, T_new[:3, 3], update_max_distance,
-                    voxel_size=cfg.voxel_size,
-                    planarity_threshold=planarity_threshold,
-                    hierarchy_factor=cfg.hierarchy_factor)
-                idx = jax.lax.axis_index("map")
-                n_shards = jax.lax.axis_size("map")
-
-                def my_slice(name, arr):
-                    if name in _REPLICATED or name.startswith("n_"):
-                        return arr
-                    c = arr.shape[0] // n_shards
-                    return jax.lax.dynamic_slice_in_dim(arr, idx * c, c, axis=0)
-
-                return vm.VoxelMapState(*[
-                    my_slice(name, arr) for name, arr in
-                    zip(vm.VoxelMapState._fields, tuple(updated))])
-
-            st_out = jax.lax.cond(kf, do_update, lambda s: s, st)
-            return T_new, st_out
+            # shard-local masked keyframe update: O(scan) comm, no
+            # table movement (VERDICT round-1 item 3)
+            me = jax.lax.axis_index(map_axis)
+            world = lie.transform_points(T_new, p)
+            mine = m & kf & (owner_of_points(
+                world, n_shards, voxel_size=cfg.voxel_size,
+                hierarchy_factor=cfg.hierarchy_factor) == me)
+            st_out = vm.update_map(
+                st, world, mine, T_new[:3, 3],
+                jnp.where(kf, jnp.float32(update_max_distance),
+                          jnp.float32(1e30)),
+                voxel_size=cfg.voxel_size,
+                planarity_threshold=planarity_threshold,
+                hierarchy_factor=cfg.hierarchy_factor)
+            return T_new, _wrap_scalars(st_out)
 
         return jax.vmap(one_seq)(state, pts, mask, T, is_kf)
 
-    specs = map_specs("map", batch_axis="data")
+    specs = map_specs(map_axis, batch_axis=data_axis)
     step = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(specs, P("data"), P("data"), P("data"), P("data")),
-        out_specs=(P("data"), specs),
+        in_specs=(specs, P(data_axis), P(data_axis), P(data_axis),
+                  P(data_axis)),
+        out_specs=(P(data_axis), specs),
         check_vma=False)
     return jax.jit(step)

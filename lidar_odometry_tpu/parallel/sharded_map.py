@@ -1,21 +1,31 @@
-"""Sharded voxel surfel map over a device mesh.
+"""Spatially-sharded voxel surfel map over a device mesh.
 
-The single-chip map (ops/voxel_map.py) is a slot table reached through a
-compact hash index. Distribution: SLOT arrays shard contiguously over the
-`map` mesh axis (shard k owns global slots [k*C/D, (k+1)*C/D)); the hash
-INDICES (int32, 4x capacity) are small and REPLICATED. A probe round
-resolves a global slot id from the replicated index, and only the owning
-shard verifies the key and answers; a psum combines the one-hot results —
-the "tensor parallel" analog of SURVEY.md §2.4 (single-host hash tables
--> sharded gather). All probe rounds run on every shard (fixed depth, no
-termination coupling), so exactly one shard can match each key.
+Ownership is by PARENT-CELL hash: shard s owns every L1 cell whose key
+hashes to s (mod n_shards), and every L0 voxel whose parent hashes to s —
+children are therefore CO-LOCATED with their parent, so each shard is a
+complete, independent single-chip map (ops/voxel_map.py) holding its own
+bucket index, slot stores and free stacks. This is the TPU analog of
+distributing the reference's hash tables (reference
+src/database/VoxelMap.h:309,324) across devices (SURVEY.md §2.4).
 
-The ICP inner reduction composes: each shard computes partial 6x6 normal
-equations from the correspondences it owns; one psum over `map` yields
-the global (H, g) — the distributed version of the reference's GN
-accumulation (IterativeClosestPointOptimizer.cpp:359-410).
+Communication costs (the round-2 redesign; round 1 all-gathered the whole
+map per keyframe):
+  * lookup: queries are replicated; a shard that does not own a key simply
+    misses its local index, so exactly one shard answers and a psum
+    combines — O(queries) bytes, no table movement.
+  * UPDATE: each shard runs the full single-chip update on the replicated
+    scan masked to its owned points — ZERO table communication, O(scan)
+    broadcast only.
+  * ICP: per-shard partial 6x6 normal equations + psum — O(36) floats.
+  * rehash (loop-closure correction, rare): voxels change owner, so live
+    (centroid, count) records are all_gathered and each shard bulk-builds
+    the subset it now owns — O(map) once per accepted loop closure
+    (reference rebuilds the whole table single-threaded,
+    VoxelMap.cpp:264-302).
 """
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,103 +36,135 @@ from ..ops import voxel_map as vm
 from ..utils import keys as K
 from ..utils import lie
 
-__all__ = ["shard_map_state", "sharded_lookup_surfels", "sharded_icp_step",
-           "map_specs", "_REPLICATED", "_local_lookup"]
+__all__ = ["sharded_empty_map", "owner_of_points", "sharded_update_map",
+           "sharded_lookup_surfels", "sharded_icp_step",
+           "sharded_transform_and_rehash", "map_specs", "gather_state"]
 
-_REPLICATED = ("n_l0", "n_l1", "l0_index", "l1_index")
+_SCALARS = ("l0_free_top", "n_l0", "l1_free_top", "n_l1", "n_dropped")
 
 
 def map_specs(mesh_axis: str = "map", batch_axis: str = None) -> vm.VoxelMapState:
-    """PartitionSpec per VoxelMapState field: slot arrays sharded over
-    `mesh_axis`, hash indices + counters replicated (optionally batched
-    over `batch_axis` as the leading dim)."""
+    """PartitionSpec per field: every array (including the bucket indices
+    and the per-shard scalars, stored as (S,) vectors) shards over
+    `mesh_axis`; an optional leading batch axis shards over `batch_axis`."""
     lead = (batch_axis,) if batch_axis else ()
-    spec = {}
-    for name in vm.VoxelMapState._fields:
-        if name in _REPLICATED:
-            spec[name] = P(*lead)
-        else:
-            spec[name] = P(*lead, mesh_axis)
-    return vm.VoxelMapState(**spec)
+    return vm.VoxelMapState(**{
+        name: P(*lead, mesh_axis) for name in vm.VoxelMapState._fields})
 
 
-def shard_map_state(state: vm.VoxelMapState, mesh: Mesh,
-                    mesh_axis: str = "map") -> vm.VoxelMapState:
+def sharded_empty_map(c0_total: int, c1_total: int, mesh: Mesh,
+                      mesh_axis: str = "map") -> vm.VoxelMapState:
+    """Empty sharded map with TOTAL capacities split across shards. Arrays
+    have global shapes (n_shards * local, ...) sharded on axis 0; scalar
+    fields become (n_shards,) vectors (one per shard)."""
+    s = mesh.shape[mesh_axis]
+    local = vm.empty_map(c0_total // s, c1_total // s)
+
+    def rep(a):
+        if a.ndim == 0:
+            return jnp.broadcast_to(a, (s,)).copy()
+        return jnp.tile(a, (s,) + (1,) * (a.ndim - 1)).reshape(
+            (s * a.shape[0],) + a.shape[1:])
+
+    state = vm.VoxelMapState(*[rep(a) for a in tuple(local)])
     specs = map_specs(mesh_axis)
     return vm.VoxelMapState(*[
-        jax.device_put(arr, NamedSharding(mesh, s))
-        for arr, s in zip(tuple(state), tuple(specs))])
+        jax.device_put(a, NamedSharding(mesh, sp))
+        for a, sp in zip(tuple(state), tuple(specs))])
 
 
-def _local_lookup(l1_key_shard, l1_surfel_shard, l1_index_full, pts,
-                  voxel_size: float, hierarchy_factor: int, mesh_axis: str):
-    """Per-shard surfel lookup: replicated index resolves global slots;
-    this shard answers only for slots in its range (misses return zeros so
-    a psum combines shards)."""
-    shard = l1_key_shard.shape[0]
-    offset = jax.lax.axis_index(mesh_axis) * shard
+def _local_view(st: vm.VoxelMapState) -> vm.VoxelMapState:
+    """Inside shard_map each field arrives with its local shape; scalar
+    fields arrive as (1,) slices — unwrap them."""
+    return vm.VoxelMapState(*[
+        (a[0] if name in _SCALARS else a)
+        for name, a in zip(vm.VoxelMapState._fields, tuple(st))])
+
+
+def _wrap_scalars(st: vm.VoxelMapState) -> vm.VoxelMapState:
+    return vm.VoxelMapState(*[
+        (a[None] if name in _SCALARS else a)
+        for name, a in zip(vm.VoxelMapState._fields, tuple(st))])
+
+
+def owner_of_points(pts: jax.Array, n_shards: int, *, voxel_size,
+                    hierarchy_factor: int = 3) -> jax.Array:
+    """Owning shard of each point = hash of its PARENT cell key mod S
+    (an independent hash from the in-shard bucket hash so shard and
+    bucket choices stay uncorrelated)."""
     inv = 1.0 / (voxel_size * hierarchy_factor)
     coords = K.voxel_coords(pts, inv)
-    qhi, qlo = K.pack_key(coords)
-    qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
-    ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
-    h1m = l1_index_full.shape[0] - 1
-    n = qhi.shape[0]
-    found = jnp.zeros((n,), bool)
-    gslot = jnp.full((n,), -1, jnp.int32)
-    for r in range(vm.N_PROBES):
-        pos = vm._hash_cell(qhi, qlo, h1m, r)
-        row = l1_index_full[pos]
-        ok = (row[:, 0] >= 0) & (row[:, 1] == qh_i) & (row[:, 2] == ql_i) & ~found
-        gslot = jnp.where(ok, row[:, 0], gslot)
-        found = found | ok
-    local = gslot - offset
-    mine = found & (local >= 0) & (local < shard)
-    lc = jnp.clip(local, 0, shard - 1)
-    k = l1_key_shard[lc]
-    hit = mine & (k[:, 0] == qhi) & (k[:, 1] == qlo)  # liveness (slot reuse)
-    row = l1_surfel_shard[lc]
-    valid = hit & (row[:, 7] > 0.5)
-    normal = jnp.where(valid[:, None], row[:, 0:3], 0.0)
-    centroid = jnp.where(valid[:, None], row[:, 3:6], 0.0)
-    return normal, centroid, valid
+    hi, lo = K.pack_key(coords)
+    h = (hi * jnp.uint32(0x85EBCA77)) ^ (lo * jnp.uint32(0xC2B2AE3D))
+    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
 
 
-def sharded_lookup_surfels(state: vm.VoxelMapState, pts: jax.Array, mesh: Mesh,
-                           *, voxel_size: float, hierarchy_factor: int = 3,
+def sharded_update_map(state: vm.VoxelMapState, pts: jax.Array,
+                       mask: jax.Array, sensor_pos: jax.Array,
+                       max_distance, mesh: Mesh, *, voxel_size,
+                       planarity_threshold, hierarchy_factor: int = 3,
+                       mesh_axis: str = "map") -> vm.VoxelMapState:
+    """Distributed UpdateVoxelMap: every shard runs the single-chip update
+    on its owned subset of the (replicated) scan. No collectives at all —
+    per-keyframe communication is the O(scan) broadcast of the points."""
+    n_shards = mesh.shape[mesh_axis]
+
+    def kernel(st, p, m, spos):
+        me = jax.lax.axis_index(mesh_axis)
+        mine = m & (owner_of_points(
+            p, n_shards, voxel_size=voxel_size,
+            hierarchy_factor=hierarchy_factor) == me)
+        out = vm.update_map(_local_view(st), p, mine, spos, max_distance,
+                            voxel_size=voxel_size,
+                            planarity_threshold=planarity_threshold,
+                            hierarchy_factor=hierarchy_factor)
+        return _wrap_scalars(out)
+
+    specs = map_specs(mesh_axis)
+    return jax.shard_map(
+        kernel, mesh=mesh, in_specs=(specs, P(), P(), P()),
+        out_specs=specs, check_vma=False)(state, pts, mask, sensor_pos)
+
+
+def sharded_lookup_surfels(state: vm.VoxelMapState, pts: jax.Array,
+                           mesh: Mesh, *, voxel_size,
+                           hierarchy_factor: int = 3,
                            mesh_axis: str = "map"):
-    """Distributed GetSurfelAtPoint: replicated queries, shard-owned
-    answers, psum combine (exactly one shard can own a key)."""
+    """Distributed GetSurfelAtPoint: replicated queries, owner answers
+    (non-owners miss their local index), psum combine."""
 
-    def kernel(l1_key, l1_surfel, l1_index, q):
-        normal, centroid, hit = _local_lookup(
-            l1_key, l1_surfel, l1_index, q, voxel_size, hierarchy_factor,
-            mesh_axis)
-        normal = jax.lax.psum(normal, mesh_axis)
-        centroid = jax.lax.psum(centroid, mesh_axis)
-        hit = jax.lax.psum(hit.astype(jnp.int32), mesh_axis) > 0
-        return normal, centroid, hit
+    def kernel(st, q):
+        n, c, v = vm.lookup_surfels(_local_view(st), q,
+                                    voxel_size=voxel_size,
+                                    hierarchy_factor=hierarchy_factor)
+        vf = v.astype(jnp.float32)[:, None]
+        n = jax.lax.psum(n * vf, mesh_axis)
+        c = jax.lax.psum(c * vf, mesh_axis)
+        v = jax.lax.psum(v.astype(jnp.int32), mesh_axis) > 0
+        return n, c, v
 
     return jax.shard_map(
-        kernel, mesh=mesh,
-        in_specs=(P(mesh_axis), P(mesh_axis), P(), P()),
-        out_specs=(P(), P(), P()), check_vma=False)(
-        state.l1_key, state.l1_surfel, state.l1_index, pts)
+        kernel, mesh=mesh, in_specs=(map_specs(mesh_axis), P()),
+        out_specs=(P(), P(), P()), check_vma=False)(state, pts)
 
 
 def sharded_icp_step(state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
                      T: jax.Array, mesh: Mesh, cfg: icp_ops.ICPConfig,
                      mesh_axis: str = "map"):
-    """One distributed GN step: per-shard correspondence + partial (H, g),
-    psum over the map axis, replicated 6x6 solve + retraction.
+    """One distributed GN step: per-shard correspondences + partial (H, g),
+    psum over the map axis, replicated 6x6 solve + retraction — the
+    distributed version of the reference's GN accumulation
+    (IterativeClosestPointOptimizer.cpp:359-410).
     Returns (T_new, n_correspondences)."""
 
-    def kernel(l1_key, l1_surfel, l1_index, p, m, T_in):
+    def kernel(st, p, m, T_in):
         R, t = lie.se3_rt(T_in)
         p_world = p @ R.T + t[None, :]
-        normal, centroid, hit = _local_lookup(
-            l1_key, l1_surfel, l1_index, p_world,
-            cfg.voxel_size, cfg.hierarchy_factor, mesh_axis)
+        normal, centroid, hit = vm.lookup_surfels(
+            _local_view(st), p_world, voxel_size=cfg.voxel_size,
+            hierarchy_factor=cfg.hierarchy_factor)
         r = jnp.sum(normal * (p_world - centroid), axis=-1)
         valid = hit & m & (jnp.abs(r) <= cfg.max_correspondence_distance)
         w = valid.astype(jnp.float32)
@@ -138,6 +180,46 @@ def sharded_icp_step(state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
 
     return jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(P(mesh_axis), P(mesh_axis), P(), P(), P(), P()),
-        out_specs=(P(), P()), check_vma=False)(
-        state.l1_key, state.l1_surfel, state.l1_index, pts, mask, T)
+        in_specs=(map_specs(mesh_axis), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False)(state, pts, mask, T)
+
+
+def sharded_transform_and_rehash(state: vm.VoxelMapState, T: jax.Array,
+                                 mesh: Mesh, *, voxel_size,
+                                 planarity_threshold,
+                                 hierarchy_factor: int = 3,
+                                 mesh_axis: str = "map") -> vm.VoxelMapState:
+    """Distributed ApplyTransformAndRehash: transformed voxels change
+    owner, so every shard all_gathers the live (centroid, count) records
+    and bulk-builds the subset it now owns. O(map) comm, but only on
+    accepted loop closures."""
+    n_shards = mesh.shape[mesh_axis]
+
+    def kernel(st):
+        loc = _local_view(st)
+        cnt = loc.l0_data[:, 0]
+        centroid = loc.l0_data[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
+        R, t = T[:3, :3], T[:3, 3]
+        moved = centroid @ R.T + t[None, :]
+        all_moved = jax.lax.all_gather(moved, mesh_axis, tiled=True)
+        all_cnt = jax.lax.all_gather(cnt, mesh_axis, tiled=True)
+        me = jax.lax.axis_index(mesh_axis)
+        mine = (all_cnt > 0.0) & (owner_of_points(
+            all_moved, n_shards, voxel_size=voxel_size,
+            hierarchy_factor=hierarchy_factor) == me)
+        out = vm.bulk_build(all_moved, all_cnt, mine,
+                            loc.l0_data.shape[0], loc.l1_meta.shape[0],
+                            voxel_size=voxel_size,
+                            planarity_threshold=planarity_threshold,
+                            hierarchy_factor=hierarchy_factor,
+                            n_dropped=loc.n_dropped)
+        return _wrap_scalars(out)
+
+    specs = map_specs(mesh_axis)
+    return jax.shard_map(kernel, mesh=mesh, in_specs=(specs,),
+                         out_specs=specs, check_vma=False)(state)
+
+
+def gather_state(state: vm.VoxelMapState) -> vm.VoxelMapState:
+    """Fetch a sharded state to host as one pytree (debug/checkpoint)."""
+    return jax.tree_util.tree_map(jax.device_get, state)

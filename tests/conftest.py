@@ -18,8 +18,3 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Shrink the dense map index grids for CPU tests (the production defaults
-# are sized for TPU HBM). Test worlds stay within the wrap periods.
-from lidar_odometry_tpu.ops import voxel_map as _vm  # noqa: E402
-
-_vm.configure_grids(l0_dims=(256, 256, 64), l1_dims=(128, 128, 32))

@@ -1,5 +1,6 @@
 """Multi-device tests on the virtual 8-device CPU mesh: sharded map
-lookup/GN, distributed Schur PGO, multichip pipeline, graft entry."""
+update/lookup/GN (parent-hash ownership, shard-local updates),
+distributed Schur PGO, multichip pipeline, graft entry."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,52 +9,94 @@ import pytest
 from lidar_odometry_tpu.ops import icp, voxel_map as vm
 from lidar_odometry_tpu.parallel import distributed_pgo as dpgo
 from lidar_odometry_tpu.parallel import mesh as mesh_mod
-from lidar_odometry_tpu.parallel import sharded_map
+from lidar_odometry_tpu.parallel import sharded_map as sm
+
+C0, C1 = 32768, 16384
 
 
-def _mk_map(c0=8192, c1=2048, seed=0):
+def _scans(seed=0, n=3):
     from lidar_odometry_tpu.io import synthetic
     world = synthetic.make_world(seed=seed, extent=40.0, n_buildings=8)
     rng = np.random.default_rng(seed)
     pose = np.eye(4, dtype=np.float32)
     pose[2, 3] = 1.8
-    state = vm.empty_map(c0, c1)
-    for dx in (-0.3, 0.0, 0.3):
-        p = pose.copy(); p[0, 3] += dx
-        scan = synthetic.sample_scan(world, p, 8000, rng, max_range=40.0, noise=0.01)
-        wpts = scan @ p[:3, :3].T + p[:3, 3]
-        state = vm.update_map(state, jnp.asarray(wpts), jnp.ones(len(wpts), bool),
-                              jnp.asarray(p[:3, 3]), 120.0,
-                              voxel_size=0.5, planarity_threshold=0.1)
-    return world, state, pose, rng
+    out = []
+    for i in range(n):
+        p = pose.copy(); p[0, 3] += 0.3 * i
+        scan = synthetic.sample_scan(world, p, 8000, rng, max_range=40.0,
+                                     noise=0.01)
+        wpts = (scan @ p[:3, :3].T + p[:3, 3]).astype(np.float32)
+        out.append((wpts, p))
+    return world, out, pose, rng
 
 
-def test_sharded_lookup_matches_single_device():
-    world, state, pose, rng = _mk_map()
+def _build_both(mesh, seed=0, max_dist=120.0):
+    """Identical update sequences on a single-chip map and a sharded map."""
+    world, scans, pose, rng = _scans(seed)
+    single = vm.empty_map(C0, C1)
+    sharded = sm.sharded_empty_map(C0 * 8, C1 * 8, mesh, "map")
+    for wpts, p in scans:
+        pts = jnp.asarray(wpts)
+        msk = jnp.ones(len(wpts), bool)
+        spos = jnp.asarray(p[:3, 3])
+        single = vm.update_map(single, pts, msk, spos, max_dist,
+                               voxel_size=0.5, planarity_threshold=0.1)
+        sharded = sm.sharded_update_map(sharded, pts, msk, spos, max_dist,
+                                        mesh, voxel_size=0.5,
+                                        planarity_threshold=0.1)
+    return world, single, sharded, pose, rng
+
+
+def test_sharded_update_and_lookup_match_single_device():
+    """Shard-local updates (O(scan) comm, no table movement) must yield a
+    map that answers every query exactly like the single-chip map."""
     mesh = mesh_mod.make_mesh(8, ("map",))
-    sharded = sharded_map.shard_map_state(state, mesh, "map")
+    world, single, sharded, pose, rng = _build_both(mesh)
+    assert int(np.asarray(single.n_l0)) == int(np.asarray(sharded.n_l0).sum())
+    assert int(np.asarray(single.n_l1)) == int(np.asarray(sharded.n_l1).sum())
     from lidar_odometry_tpu.io import synthetic
-    scan = synthetic.sample_scan(world, pose, 2000, rng, max_range=40.0, noise=0.01)
+    scan = synthetic.sample_scan(world, pose, 2000, rng, max_range=40.0,
+                                 noise=0.01)
     q = jnp.asarray(scan @ pose[:3, :3].T + pose[:3, 3])
-    n1, c1_, v1 = vm.lookup_surfels(state, q, voxel_size=0.5)
-    n2, c2_, v2 = sharded_map.sharded_lookup_surfels(
-        sharded, q, mesh, voxel_size=0.5, mesh_axis="map")
+    n1, c1_, v1 = vm.lookup_surfels(single, q, voxel_size=0.5)
+    n2, c2_, v2 = sm.sharded_lookup_surfels(sharded, q, mesh, voxel_size=0.5)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     m = np.asarray(v1)
-    np.testing.assert_allclose(np.asarray(n1)[m], np.asarray(n2)[m], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(c1_)[m], np.asarray(c2_)[m], atol=1e-6)
+    assert m.sum() > 100
+    np.testing.assert_allclose(np.asarray(n1)[m], np.asarray(n2)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1_)[m], np.asarray(c2_)[m], atol=1e-5)
+
+
+def test_sharded_eviction_matches_single_device():
+    mesh = mesh_mod.make_mesh(8, ("map",))
+    _, single, sharded, pose, _ = _build_both(mesh)
+    # evict a band of the map from an offset sensor position (kept below
+    # EVICT_CAP so the single-chip bounded eviction fully drains)
+    n_before = int(np.asarray(single.n_l0))
+    far = jnp.asarray([25.0, 0.0, 0.0], jnp.float32)
+    nanpts = jnp.full((64, 3), jnp.nan, jnp.float32)
+    nomask = jnp.zeros((64,), bool)
+    single = vm.update_map(single, nanpts, nomask, far, 30.0,
+                           voxel_size=0.5, planarity_threshold=0.1)
+    sharded = sm.sharded_update_map(sharded, nanpts, nomask, far, 30.0,
+                                    mesh, voxel_size=0.5,
+                                    planarity_threshold=0.1)
+    n_single = int(np.asarray(single.n_l0))
+    n_sharded = int(np.asarray(sharded.n_l0).sum())
+    assert n_single == n_sharded
+    assert n_single < n_before  # something actually evicted
 
 
 def test_sharded_icp_step_matches_single_device():
-    """The distributed GN step (per-shard partial H,g + psum) must equal the
-    single-device unweighted GN step bit-for-bit-ish."""
+    """The distributed GN step (per-shard partial H,g + psum) must equal
+    the single-device unweighted GN step."""
     from lidar_odometry_tpu.utils import lie
-    world, state, pose, rng = _mk_map(seed=1)
     mesh = mesh_mod.make_mesh(8, ("map",))
-    sharded = sharded_map.shard_map_state(state, mesh, "map")
+    world, single, sharded, pose, rng = _build_both(mesh, seed=1)
     from lidar_odometry_tpu.io import synthetic
     true_pose = pose.copy(); true_pose[0, 3] += 0.3
-    scan = synthetic.sample_scan(world, true_pose, 4000, rng, max_range=40.0, noise=0.01)
+    scan = synthetic.sample_scan(world, true_pose, 4000, rng, max_range=40.0,
+                                 noise=0.01)
     pts = jnp.asarray(scan)
     mask = jnp.ones(len(scan), bool)
     guess = true_pose.copy(); guess[0, 3] += 0.2
@@ -62,7 +105,7 @@ def test_sharded_icp_step_matches_single_device():
     def ref_step(T):
         R, t = lie.se3_rt(T)
         pw = pts @ R.T + t[None, :]
-        n_, c_, v_ = vm.lookup_surfels(state, pw, voxel_size=0.5)
+        n_, c_, v_ = vm.lookup_surfels(single, pw, voxel_size=0.5)
         r = jnp.sum(n_ * (pw - c_), axis=-1)
         valid = v_ & mask & (jnp.abs(r) <= cfg.max_correspondence_distance)
         w = valid.astype(jnp.float32)
@@ -77,9 +120,42 @@ def test_sharded_icp_step_matches_single_device():
     T_sh = jnp.asarray(guess)
     for _ in range(3):
         T_ref, n_ref = ref_step(T_ref)
-        T_sh, n_sh = sharded_map.sharded_icp_step(sharded, pts, mask, T_sh, mesh, cfg)
+        T_sh, n_sh = sm.sharded_icp_step(sharded, pts, mask, T_sh, mesh, cfg)
         assert int(n_ref) == int(n_sh)
-        np.testing.assert_allclose(np.asarray(T_sh), np.asarray(T_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(T_sh), np.asarray(T_ref),
+                                   atol=2e-5)
+
+
+def test_sharded_rehash_matches_single_device():
+    """Voxels change owner under a rigid correction; the redistributed
+    rebuild must agree with the single-chip rehash on every query."""
+    from lidar_odometry_tpu.utils import lie as _lie
+    mesh = mesh_mod.make_mesh(8, ("map",))
+    world, single, sharded, pose, rng = _build_both(mesh, seed=2)
+    ang = 0.2
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                            [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    T[:3, 3] = [1.5, -0.7, 0.2]
+    T = jnp.asarray(T)
+    single2 = vm.transform_and_rehash(single, T, voxel_size=0.5,
+                                      planarity_threshold=0.1)
+    sharded2 = sm.sharded_transform_and_rehash(sharded, T, mesh,
+                                               voxel_size=0.5,
+                                               planarity_threshold=0.1)
+    assert int(np.asarray(single2.n_l0)) == int(np.asarray(sharded2.n_l0).sum())
+    from lidar_odometry_tpu.io import synthetic
+    scan = synthetic.sample_scan(world, pose, 1500, rng, max_range=40.0,
+                                 noise=0.01)
+    q0 = jnp.asarray(scan @ pose[:3, :3].T + pose[:3, 3])
+    q = q0 @ T[:3, :3].T + T[:3, 3]
+    n1, c1_, v1 = vm.lookup_surfels(single2, q, voxel_size=0.5)
+    n2, c2_, v2 = sm.sharded_lookup_surfels(sharded2, q, mesh, voxel_size=0.5)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    m = np.asarray(v1)
+    assert m.sum() > 50
+    np.testing.assert_allclose(np.asarray(c1_)[m], np.asarray(c2_)[m],
+                               atol=1e-4)
 
 
 def _random_chain(n, rng):
@@ -119,7 +195,6 @@ def test_schur_partitioned_matches_dense(use_mesh):
     seps = dpgo.plan_partition(n, 4, loop_edges)
     mesh = None
     if use_mesh:
-        # pad block count to the mesh size by splitting evenly
         seps = dpgo.plan_partition(n, 8, loop_edges)
         while len(seps) % 8 != 0:
             seps = dpgo.plan_partition(n, len(seps) + 1, loop_edges)

@@ -121,3 +121,34 @@ def test_distributed_backend_matches_manual():
     dist = build("distributed")
     for k in manual:
         np.testing.assert_allclose(dist[k], manual[k], atol=1e-4)
+
+
+def test_distributed_backend_loop_to_keyframe_zero():
+    """Regression (ADVICE round-1 item 1): a loop anchored at keyframe 0 —
+    the common loop-back-to-start case — must actually correct drift under
+    the distributed backend (plan_partition used to drop endpoint 0 from
+    the separator set and the solve silently failed)."""
+    def build(backend):
+        opt = pg.PoseGraphOptimizer(backend=backend, n_blocks=4)
+        true_poses = [_pose(x=float(i)) for i in range(20)]
+        cur = np.eye(4)
+        noisy = [cur.copy()]
+        opt.add_first_keyframe(0, noisy[0])
+        for i in range(1, 20):
+            rel_true = np.linalg.inv(true_poses[i - 1]) @ true_poses[i]
+            rel_noisy = rel_true.copy()
+            rel_noisy[1, 3] += 0.04
+            cur = cur @ rel_noisy
+            noisy.append(cur.copy())
+            opt.add_keyframe_with_odom(i - 1, i, noisy[i], rel_noisy, 1.0, 1.0)
+        rel_loop = np.linalg.inv(true_poses[0]) @ true_poses[19]
+        assert opt.add_loop_and_optimize(0, 19, rel_loop, 1.0, 1.0)
+        return opt.get_all_optimized_poses(), noisy, true_poses
+
+    manual, _, _ = build("manual")
+    dist, noisy, true_poses = build("distributed")
+    err_before = np.linalg.norm(noisy[19][:3, 3] - true_poses[19][:3, 3])
+    err_after = np.linalg.norm(dist[19][:3, 3] - true_poses[19][:3, 3])
+    assert err_after < err_before * 0.2, (err_before, err_after)
+    for k in manual:
+        np.testing.assert_allclose(dist[k], manual[k], atol=1e-4)

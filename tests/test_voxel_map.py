@@ -151,9 +151,8 @@ def test_insert_evict_reinsert_cycles():
         from lidar_odometry_tpu.utils import keys as K
         coords = K.voxel_coords(pts, 2.0)
         hi, lo = K.pack_key(coords)
-        slot = vm._probe(state.l0_index, jnp.stack(
-            [state.l0_key[:, 0], state.l0_key[:, 1]], axis=-1), hi, lo)
-        found = np.asarray(slot) >= 0
+        slot, hit, _, _ = vm._bucket_find(state.l0_index, hi, lo)
+        found = np.asarray(hit)
         assert found.mean() > 0.995, found.mean()
         # evict everything (sensor far away)
         state = vm.update_map(state, jnp.full_like(pts, jnp.nan),
