@@ -35,7 +35,7 @@ import numpy as np
 
 
 RAW_N = 131072          # KITTI velodyne scan size
-N_FRAMES = 120
+N_FRAMES = 240
 CHUNK = 20
 BATCH = 4
 
@@ -78,7 +78,10 @@ def main():
         use_robust_loss=True, use_surfel_correspondence=True,
         loss_type="huber", use_adaptive_m_estimator=True, voxel_size=0.5)
     consts = pko.make_pko_constants(0.1, 10.0, 100, 10.0, "huber", 3, 100)
-    kw = dict(scan_voxel_size=0.5, point_stride=8, scan_capacity=16384,
+    # scan_capacity: measured per-frame feature counts peak at ~13k on the
+    # KITTI operating point (131072 raw pts, stride 8, 0.5 m voxels);
+    # 14336 keeps 10% headroom while trimming every downstream op's shape.
+    kw = dict(scan_voxel_size=0.5, point_stride=8, scan_capacity=14336,
               keyframe_distance=1.0, keyframe_rotation=0.3,
               max_distance=120.0, planarity_threshold=0.1)
 
@@ -110,7 +113,8 @@ def main():
     est = np.concatenate([np.asarray(p) for p in poses_list])
     err = ate_rmse(est, gt_poses)
     print(f"# single-stream: {single_fps:.1f} fps | ate_rmse={err:.3f}m "
-          f"keyframes={int(carry.kf_count)} map_l0={int(carry.map_state.n_l0)}",
+          f"keyframes={int(carry.kf_count)} map_l0={int(carry.map_state.n_l0)} "
+          f"dropped={int(carry.map_state.n_dropped)}",
           file=sys.stderr)
     if err > 0.5:
         print(f"# WARNING: accuracy degraded (ATE {err:.3f} m)", file=sys.stderr)

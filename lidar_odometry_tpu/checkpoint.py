@@ -20,7 +20,7 @@ from .models import pose_graph as pg
 from .ops import voxel_map as vm
 
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
 
 
 def save(path: str, est: Estimator) -> None:
@@ -63,6 +63,12 @@ def save(path: str, est: Estimator) -> None:
             arrays["pg.bt_meas"] = np.stack([b.measured for b in graph._betweens])
             arrays["pg.bt_sqrt"] = np.stack([b.sqrt_info for b in graph._betweens])
 
+    # loop-detector descriptor DB (exact, including queue-time positions —
+    # the distance gate deliberately uses pre-PGO positions, so a rebuild
+    # from current poses would not be faithful)
+    for name, val in est.loop_detector.export_state().items():
+        arrays[f"lc.{name}"] = val
+
     meta = {
         "version": CHECKPOINT_VERSION,
         "initialized": est.initialized,
@@ -81,7 +87,7 @@ def save(path: str, est: Estimator) -> None:
 def restore(path: str, config: SystemConfig, sync_loop: bool = False) -> Estimator:
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta_json"]).decode())
-    assert meta["version"] == CHECKPOINT_VERSION
+    assert meta["version"] in (1, CHECKPOINT_VERSION)
 
     est = Estimator(config, sync_loop=sync_loop)
     import jax.numpy as jnp
@@ -135,9 +141,15 @@ def restore(path: str, config: SystemConfig, sync_loop: bool = False) -> Estimat
     est._prev_pose = np.asarray(meta["prev_pose"], np.float32)
     est.last_keyframe_pose = np.asarray(meta["last_keyframe_pose"], np.float32)
 
-    # Rebuild the loop-closure DB from keyframe clouds (descriptors are
-    # derived state; cheaper to recompute than serialize).
-    if config.enable_loop_detection:
+    # Loop-closure DB: exact import when present (v2 checkpoints),
+    # otherwise rebuild from keyframe clouds (v1 fallback — loses the
+    # queue-time positions the distance gate expects).
+    if "lc.iris_kf_ids" in data:
+        est.loop_detector.import_state(
+            {name: data[f"lc.{name}"] for name in
+             ("iris_img", "iris_T", "iris_M", "iris_kf_ids",
+              "iris_positions")})
+    elif config.enable_loop_detection:
         for kf in est.keyframes:
             est.loop_detector.add_keyframe(
                 kf.feature_cloud, kf.feature_mask, kf.kf_id, kf.stored_pose[:3, 3])

@@ -71,6 +71,13 @@ class SystemConfig:
     use_surfel_correspondence: bool = True
 
     # --- keyframe ---
+    # Reference sliding-window cleanup (Estimator.cpp:474-490 +
+    # LidarFrame::clear_heavy_data_for_old_keyframe, LidarFrame.cpp:326-344)
+    # frees raw/processed clouds and KD-trees of keyframes leaving the
+    # window, KEEPING feature clouds + poses. This port's KeyframeRecord
+    # only ever stores that post-cleanup payload (estimator.py:44-56), so
+    # the cleanup is a no-op by construction; the key is kept for YAML
+    # parity with config/kitti.yaml.
     window_size: int = 10
 
     # --- loop_detector ---

@@ -84,6 +84,42 @@ def loop_trajectory(n_frames: int, radius: float = 40.0, height: float = 1.8,
     return poses
 
 
+def circuit_trajectory(n_frames: int, length: float = 120.0,
+                       radius: float = 25.0, step: float = 0.65,
+                       height: float = 1.8) -> np.ndarray:
+    """(F, 4, 4) stadium-circuit poses (two straights + two semicircular
+    ends), driven for as many laps as n_frames*step covers. KITTI-07-shaped
+    workload: rotation-rich corners and full-trajectory revisits on every
+    lap after the first (the hard accuracy benchmark of the round-1
+    verdict). Heading is tangent to the path."""
+    half = length / 2.0
+    per = 2.0 * length + 2.0 * np.pi * radius
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    for i in range(n_frames):
+        s = (i * step) % per
+        if s < length:                      # bottom straight, heading +x
+            x, y, phi = -half + s, -radius, 0.0
+        elif s < length + np.pi * radius:   # right semicircle
+            a = (s - length) / radius
+            x = half + radius * np.sin(a)
+            y = -radius * np.cos(a)
+            phi = a
+        elif s < 2 * length + np.pi * radius:  # top straight, heading -x
+            x, y, phi = half - (s - length - np.pi * radius), radius, np.pi
+        else:                               # left semicircle
+            a = (s - 2 * length - np.pi * radius) / radius
+            x = -half - radius * np.sin(a)
+            y = radius * np.cos(a)
+            phi = np.pi + a
+        c, sn = np.cos(phi), np.sin(phi)
+        poses[i, :3, :3] = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]],
+                                    np.float32)
+        poses[i, 0, 3] = x
+        poses[i, 1, 3] = y
+        poses[i, 2, 3] = height
+    return poses
+
+
 def sample_scan(world: List[Rect], pose: np.ndarray, n_points: int,
                 rng: np.random.Generator, max_range: float = 60.0,
                 noise: float = 0.01, wall_boost: float = 4.0) -> np.ndarray:

@@ -252,8 +252,8 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
     """
     bin_size = cfg.voxel_size * bin_scale
 
-    def body(i, carry):
-        T, done, scale, converged_flag = carry
+    def body(carry):
+        i, T, done, scale, converged_flag = carry
         normals, _q_cen, q_nn, valid, r_abs = _plane_correspondences(
             matched_table, curr_pts, curr_mask, T, cfg,
             bin_size=bin_size, radius=search_radius,
@@ -276,10 +276,17 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
         T_out = jnp.where(step_active, T_new, T)
         done_out = done | insufficient | (step_active & conv)
         converged_out = converged_flag | (step_active & conv)
-        return (T_out, done_out, new_scale, converged_out)
+        return (i + 1, T_out, done_out, new_scale, converged_out)
 
-    init = (T_curr, jnp.bool_(False), jnp.float32(1.0), jnp.bool_(False))
-    T_opt, _, _, converged = jax.lax.fori_loop(0, max_loop_iterations, body, init)
+    def cond(carry):
+        # early exit on convergence/failure — the round-1 fori_loop burned
+        # all 100 iterations on device for every background loop candidate
+        i, _T, done, _scale, _conv = carry
+        return (i < max_loop_iterations) & ~done
+
+    init = (jnp.int32(0), T_curr, jnp.bool_(False), jnp.float32(1.0),
+            jnp.bool_(False))
+    _, T_opt, _, _, converged = jax.lax.while_loop(cond, body, init)
 
     # Inlier-ratio validation (reference :213-248).
     p_world = lie.transform_points(T_opt, curr_pts)

@@ -177,7 +177,8 @@ def _compact(mask: jax.Array, cap: int):
     return jnp.where(out < n, out, -1), jnp.sum(mask.astype(jnp.int32))
 
 
-def _claim_round(index, meta, free, top, qhi, qlo, want, find=None):
+def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
+                 col2_init: int = -1):
     """Allocate slots + index cells for wanted keys (all arrays (M,)).
     Keys are deduped (sort), ranked per bucket (sort), and claim the
     rank-th empty cell of their bucket. Wanted keys that already exist
@@ -239,7 +240,7 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None):
     mt = jnp.where(can, new_slot, c)
     meta = meta.at[mt, 0].set(qh_i, mode="drop")
     meta = meta.at[mt, 1].set(ql_i, mode="drop")
-    meta = meta.at[mt, 2].set(-1, mode="drop")
+    meta = meta.at[mt, 2].set(col2_init, mode="drop")
     meta = meta.at[mt, 3].set(b * BUCKET + cell, mode="drop")
 
     slot = jnp.where(can, new_slot, slot)
@@ -249,14 +250,15 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None):
 
 
 def _insert_keys(index, meta, free, top, qhi, qlo, want, cap2: int,
-                 find=None):
+                 find=None, col2_init: int = -1):
     """Resolve-or-allocate slots for (N,) keys: one claim round on all
     candidates (reusing a precomputed find when given), then a compacted
     second round (cap2) for duplicates and spillover. Returns
     (index, meta, top, slot (N,), allocated (N,), n_dropped)."""
     n = qhi.shape[0]
     index, meta, top, slot, resolved, allocated, _f1 = _claim_round(
-        index, meta, free, top, qhi, qlo, want, find=find)
+        index, meta, free, top, qhi, qlo, want, find=find,
+        col2_init=col2_init)
 
     # round 2 (compacted): duplicate losers re-find their winner's slot;
     # bucket-spillover leaders claim the next empty cells
@@ -266,7 +268,7 @@ def _insert_keys(index, meta, free, top, qhi, qlo, want, cap2: int,
     r_hi = jnp.where(rem_ok, qhi[ri], K.INVALID_HI)
     r_lo = jnp.where(rem_ok, qlo[ri], K.INVALID_LO)
     index, meta, top, slot2, claimed2, alloc2, f2 = _claim_round(
-        index, meta, free, top, r_hi, r_lo, rem_ok)
+        index, meta, free, top, r_hi, r_lo, rem_ok, col2_init=col2_init)
     wr = jnp.where(rem_ok & claimed2, ri, n)
     slot = slot.at[wr].set(slot2, mode="drop")
     allocated = allocated.at[jnp.where(rem_ok & alloc2, ri, n)].set(
@@ -345,7 +347,10 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     p = new_pts.shape[0]
     f32 = jnp.float32
 
-    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), cond-gated ----
+    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), cond-gated:
+    # the untaken identity branch costs one operand copy (~0.9 ms/update),
+    # which measures cheaper than running the eviction scatters
+    # unconditionally (~1.6 ms). ----
     cnt0 = state.l0_data[:, 0]
     valid0 = cnt0 > 0.0
     centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt0, 1.0)[:, None]
@@ -353,7 +358,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     evict = valid0 & (dist_sq > max_distance * max_distance)
 
     def do_evict(args):
-        index, meta, data, children, free, top = args
+        index, meta, data, children, l1_meta, free, top = args
         ev_list, _ = _compact(evict, EVICT_CAP)
         ev_ok = ev_list >= 0
         ev = jnp.clip(ev_list, 0, c0 - 1)
@@ -365,23 +370,27 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         eoff = _child_offset_of(ecoords)
         par = emeta[:, 2]
         has_par = ev_ok & (par >= 0)
-        children = children.at[
-            jnp.where(has_par, par, c1), jnp.where(has_par, eoff, 0)].set(
+        ptgt = jnp.where(has_par, par, c1)
+        children = children.at[ptgt, jnp.where(has_par, eoff, 0)].set(
             -1, mode="drop")
+        # incremental child counter (UnregisterFromParent,
+        # VoxelMap.cpp:82-97)
+        l1_meta = l1_meta.at[ptgt, 2].add(
+            jnp.where(has_par, -1, 0), mode="drop")
         meta, data, free, top = _free_l0(meta, data, free, top, ev, ev_ok)
-        return index, meta, data, children, free, top, \
+        return index, meta, data, children, l1_meta, free, top, \
             jnp.where(has_par, par, -1)
 
     def no_evict(args):
-        index, meta, data, children, free, top = args
-        return index, meta, data, children, free, top, \
+        index, meta, data, children, l1_meta, free, top = args
+        return index, meta, data, children, l1_meta, free, top, \
             jnp.full((EVICT_CAP,), -1, jnp.int32)
 
-    (l0_index, l0_meta, l0_data, l1_children, l0_free, l0_top,
+    (l0_index, l0_meta, l0_data, l1_children, l1_meta0, l0_free, l0_top,
      evpar) = jax.lax.cond(
         jnp.any(evict), do_evict, no_evict,
         (state.l0_index, state.l0_meta, state.l0_data, state.l1_children,
-         state.l0_free, state.l0_free_top))
+         state.l1_meta, state.l0_free, state.l0_free_top))
 
     # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size
@@ -394,7 +403,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     find0 = _bucket_find(l0_index, phi, plo)
     n_unres = jnp.sum((new_mask & ~(find0[1] & new_mask)).astype(jnp.int32))
 
-    def tier(new_cap: int, aff_cap: int):
+    def tier(new_cap: int, aff_cap: int, r_cap: int):
         def run(args):
             (l0_index, l0_meta, l0_data, l0_free, l0_top,
              l1_index, l1_meta, l1_last, l1_surfel, l1_children,
@@ -429,7 +438,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             nplo = jnp.where(new_ok, nplo, K.INVALID_LO)
             l1_index, l1_meta, l1_top, par_slot, l1_new, nd1 = _insert_keys(
                 l1_index, l1_meta, l1_free, l1_top, nphi, nplo, new_ok,
-                cap2=new_cap)
+                cap2=new_cap, col2_init=0)
             n_dropped = n_dropped + nd1
             # fresh L1 cells must not inherit a previous occupant's children
             l1_children = l1_children.at[
@@ -438,10 +447,15 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             reg = new_ok & (par_slot >= 0)
             new_slot = jnp.where(new_ok, slot[ni], -1)
             ch_off = _child_offset_of(ncoords)
+            rtgt = jnp.where(reg, par_slot, c1)
             l1_children = l1_children.at[
-                jnp.where(reg, par_slot, c1),
-                jnp.where(reg, ch_off, 0)].set(
+                rtgt, jnp.where(reg, ch_off, 0)].set(
                 jnp.where(reg, new_slot, -1), mode="drop")
+            # incremental child counter (each new voxel registers exactly
+            # once; eviction/deletion decrement) — replaces the per-update
+            # 27-child count gather
+            l1_meta = l1_meta.at[rtgt, 2].add(
+                jnp.where(reg, 1, 0), mode="drop")
             l0_meta = l0_meta.at[
                 jnp.where(reg, jnp.clip(new_slot, 0, c0 - 1), c0), 2].set(
                 par_slot, mode="drop")
@@ -466,37 +480,58 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             aff_slot = jnp.where(aff_ok, s_slot[lp], -1)
             aff_new = jnp.where(aff_ok, (s2[lp] & 1) == 0, False)
 
-            # ---- Step 7: child stats + surfel decisions
-            # (VoxelMap.cpp:187-261) ----
-            cnt, mean, cov, kids, kids_ok = _child_stats(
-                l0_data, l1_children, aff_slot, aff_ok)
+            # ---- Step 7: surfel decisions from the INCREMENTAL child
+            # counter; child stats gathered ONLY for recomputing cells
+            # (VoxelMap.cpp:187-261, count-change skip at :203) ----
             aff_c = jnp.clip(aff_slot, 0, c1 - 1)
-            srow = l1_surfel[aff_c]
-            prev_has = aff_ok & (srow[:, 7] > 0.5)
+            cnt = jnp.where(aff_ok, l1_meta[aff_c, 2], 0)
+            prev_has = aff_ok & (l1_surfel[aff_c, 7] > 0.5)
             prev_last = l1_last[aff_c]
 
             if compute_surfels:
-                lam, normal = eigh3.eigh3(cov)
-                plan = lam[:, 0] / (lam[:, 2] + 1e-6)
                 enough = cnt >= MIN_OCCUPIED_CHILDREN
                 skip = prev_has & (prev_last == cnt)      # VoxelMap.cpp:203
                 recompute = aff_new & aff_ok & enough & ~skip
-                non_planar = recompute & (plan > planarity_threshold)
+
+                r_pos, n_rec = _compact(recompute, r_cap)
+                n_dropped = n_dropped + jnp.maximum(n_rec - r_cap, 0)
+                r_ok = r_pos >= 0
+                rp = jnp.clip(r_pos, 0, aff_cap - 1)
+                r_slot = jnp.where(r_ok, aff_slot[rp], -1)
+                _rcnt, mean, cov, kids, kids_ok = _child_stats(
+                    l0_data, l1_children, r_slot, r_ok)
+                lam, normal = eigh3.eigh3(cov)
+                plan = lam[:, 0] / (lam[:, 2] + 1e-6)
+                r_non_planar = r_ok & (plan > planarity_threshold)
                 # bound deletions so every freed child is fully processed
-                npr = jnp.cumsum(non_planar.astype(jnp.int32)) - 1
-                defer = non_planar & (npr >= aff_cap // 27)
-                non_planar = non_planar & ~defer
-                use_new = recompute & ~non_planar & ~defer
+                npr = jnp.cumsum(r_non_planar.astype(jnp.int32)) - 1
+                r_defer = r_non_planar & (npr >= (27 * r_cap) // 27 // 8)
+                r_non_planar = r_non_planar & ~r_defer
+                r_use = r_ok & ~r_non_planar & ~r_defer
+
+                # map R verdicts back onto the affected list
+                non_planar = jnp.zeros((aff_cap,), bool).at[
+                    jnp.where(r_ok, rp, aff_cap)].set(
+                    r_non_planar, mode="drop") & recompute
+                use_new = jnp.zeros((aff_cap,), bool).at[
+                    jnp.where(r_ok, rp, aff_cap)].set(
+                    r_use, mode="drop") & recompute
                 has_out = jnp.where(aff_new,
                                     jnp.where(enough, skip | use_new, False),
                                     prev_has & enough)
 
-                # ---- non-planar deletion (VoxelMap.cpp:244-253),
-                # cond-gated: rare in steady state ----
-                def do_delete(a):
-                    l0_index, l0_meta, l0_data, l0_free, l0_top, l1_children = a
-                    delk = kids_ok & non_planar[:, None]
-                    dk_list, _ = _compact(delk.reshape(-1), aff_cap)
+                cnt_post = jnp.where(non_planar, 0, cnt)
+                freed = aff_ok & (cnt_post == 0)
+
+                # ---- non-planar deletion (VoxelMap.cpp:244-253) + freeing
+                # of emptied L1 cells, ONE cond: both are rare in steady
+                # state, and each lax.cond's untaken identity branch costs
+                # an operand copy ----
+                def do_delete_free(a):
+                    (l0_index, l0_meta, l0_data, l0_free, l0_top,
+                     l1_children, l1_meta, l1_index, l1_free, l1_top) = a
+                    delk = kids_ok & r_non_planar[:, None]
+                    dk_list, _ = _compact(delk.reshape(-1), 27 * (r_cap // 8))
                     dk_ok = dk_list >= 0
                     dkc = jnp.clip(dk_list, 0, kids.size - 1)
                     dslot = jnp.where(dk_ok, kids.reshape(-1)[dkc], c0)
@@ -507,61 +542,72 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                     l0_meta, l0_data, l0_free, l0_top = _free_l0(
                         l0_meta, l0_data, l0_free, l0_top,
                         ds_c, dk_ok & (dslot < c0))
-                    l1_children = l1_children.at[
-                        jnp.where(non_planar, aff_slot, c1)].set(
-                        -1, mode="drop")
+                    dtgt = jnp.where(r_non_planar, r_slot, c1)
+                    l1_children = l1_children.at[dtgt].set(-1, mode="drop")
+                    l1_meta = l1_meta.at[dtgt, 2].set(0, mode="drop")
+
+                    fslot = jnp.where(freed, aff_slot, c1)
+                    fc = jnp.clip(fslot, 0, c1 - 1)
+                    l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
+                    l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
+                    l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                    frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                    l1_free = l1_free.at[
+                        jnp.where(freed, l1_top + frank, c1)].set(
+                        jnp.where(freed, aff_slot, -1), mode="drop")
+                    l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
                     return (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                            l1_children)
+                            l1_children, l1_meta, l1_index, l1_free, l1_top)
 
                 (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                 l1_children) = jax.lax.cond(
-                    jnp.any(non_planar), do_delete, lambda a: a,
+                 l1_children, l1_meta, l1_index, l1_free, l1_top) = jax.lax.cond(
+                    jnp.any(r_non_planar) | jnp.any(freed), do_delete_free,
+                    lambda a: a,
                     (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                     l1_children))
-                cnt = jnp.where(non_planar, 0, cnt)
+                     l1_children, l1_meta, l1_index, l1_free, l1_top))
+                cnt = cnt_post
                 has_out = has_out & ~non_planar
             else:
-                normal = jnp.zeros_like(mean)
-                plan = jnp.ones((aff_cap,), f32)
+                r_slot = jnp.full((r_cap,), -1, jnp.int32)
+                r_use = jnp.zeros((r_cap,), bool)
+                normal = jnp.zeros((r_cap, 3), f32)
+                mean = jnp.zeros((r_cap, 3), f32)
+                plan = jnp.ones((r_cap,), f32)
                 use_new = jnp.zeros((aff_cap,), bool)
                 has_out = jnp.zeros((aff_cap,), bool)
 
-            # ---- write back affected cells ----
+                # still free cells emptied by eviction
+                freed = aff_ok & (cnt == 0)
+
+                def do_free(a):
+                    l1_index, l1_meta, l1_free, l1_top = a
+                    fslot = jnp.where(freed, aff_slot, c1)
+                    fc = jnp.clip(fslot, 0, c1 - 1)
+                    l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
+                    l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
+                    l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                    frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                    l1_free = l1_free.at[
+                        jnp.where(freed, l1_top + frank, c1)].set(
+                        jnp.where(freed, aff_slot, -1), mode="drop")
+                    return (l1_index, l1_meta, l1_free,
+                            l1_top + jnp.sum(freed.astype(jnp.int32)))
+
+                l1_index, l1_meta, l1_free, l1_top = jax.lax.cond(
+                    jnp.any(freed), do_free, lambda a: a,
+                    (l1_index, l1_meta, l1_free, l1_top))
+
+            # ---- write back: new surfel payloads at recomputing cells,
+            # has flags over the whole affected list ----
+            wr = jnp.where(r_use, jnp.clip(r_slot, 0, c1 - 1), c1)
+            srows = jnp.concatenate([normal, mean, plan[:, None]], axis=-1)
+            for w in range(7):
+                l1_surfel = l1_surfel.at[wr, w].set(srows[:, w], mode="drop")
             wslot = jnp.where(aff_ok, aff_slot, c1)
-            l1_meta = l1_meta.at[wslot, 2].set(cnt, mode="drop")
+            l1_surfel = l1_surfel.at[wslot, 7].set(
+                has_out.astype(f32), mode="drop")
             l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(
                 cnt, mode="drop")
-            keep = jnp.where(use_new[:, None],
-                             jnp.concatenate([normal, mean], axis=-1),
-                             srow[:, :6])
-            rows = jnp.concatenate(
-                [keep,
-                 jnp.where(use_new, plan, srow[:, 6])[:, None],
-                 has_out.astype(f32)[:, None]], axis=-1)
-            for w in range(8):
-                l1_surfel = l1_surfel.at[wslot, w].set(rows[:, w], mode="drop")
-
-            # ---- free emptied L1 cells (cond-gated: only happens after
-            # evictions or deletions) ----
-            freed = aff_ok & (cnt == 0)
-
-            def do_free_l1(a):
-                l1_index, l1_meta, l1_free, l1_top = a
-                fslot = jnp.where(freed, aff_slot, c1)
-                fc = jnp.clip(fslot, 0, c1 - 1)
-                l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
-                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
-                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
-                frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
-                l1_free = l1_free.at[
-                    jnp.where(freed, l1_top + frank, c1)].set(
-                    jnp.where(freed, aff_slot, -1), mode="drop")
-                return (l1_index, l1_meta, l1_free,
-                        l1_top + jnp.sum(freed.astype(jnp.int32)))
-
-            l1_index, l1_meta, l1_free, l1_top = jax.lax.cond(
-                jnp.any(freed), do_free_l1, lambda a: a,
-                (l1_index, l1_meta, l1_free, l1_top))
 
             return (l0_index, l0_meta, l0_data, l0_free, l0_top,
                     l1_index, l1_meta, l1_last, l1_surfel, l1_children,
@@ -569,14 +615,14 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         return run
 
     args = (l0_index, l0_meta, l0_data, l0_free, l0_top,
-            state.l1_index, state.l1_meta, state.l1_last, state.l1_surfel,
+            state.l1_index, l1_meta0, state.l1_last, state.l1_surfel,
             l1_children, state.l1_free, state.l1_free_top, state.n_dropped)
     (l0_index, l0_meta, l0_data, l0_free, l0_top,
      l1_index, l1_meta, l1_last, l1_surfel, l1_children, l1_free, l1_top,
      n_dropped) = jax.lax.cond(
         n_unres <= SMALL_CAP,
-        tier(SMALL_CAP, SMALL_CAP),
-        tier(p, 2 * SMALL_CAP),
+        tier(SMALL_CAP, SMALL_CAP, SMALL_CAP * 3 // 8),
+        tier(p, 2 * SMALL_CAP, 2 * SMALL_CAP),
         args)
 
     return VoxelMapState(

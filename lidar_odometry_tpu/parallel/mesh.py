@@ -15,7 +15,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "Mesh", "NamedSharding"]
+__all__ = ["make_mesh", "initialize_multihost", "P", "Mesh", "NamedSharding"]
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -33,3 +33,34 @@ def make_mesh(n_devices: Optional[int] = None,
             break
     shape = (d, n // d)
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Join a multi-host process group (SURVEY.md §2.5: process groups via
+    `jax.distributed.initialize`; collectives ride ICI within a slice and
+    DCN across hosts once every process contributes its local devices).
+
+    Call once per process before any JAX computation; after it,
+    `jax.devices()` spans ALL hosts and `make_mesh()` builds global
+    meshes, so the sharded map / distributed PGO run unchanged across
+    hosts. Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) or
+    cluster auto-detection (TPU pods supply these natively).
+    Returns this process's id."""
+    import os
+    kw = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw["coordinator_address"] = addr
+    if num_processes is not None or os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(num_processes
+                                  if num_processes is not None
+                                  else os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(process_id
+                               if process_id is not None
+                               else os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return jax.process_index()

@@ -28,6 +28,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -101,22 +102,47 @@ def owner_of_points(pts: jax.Array, n_shards: int, *, voxel_size,
     return (h % jnp.uint32(n_shards)).astype(jnp.int32)
 
 
+def _owned_cap(n: int, n_shards: int) -> int:
+    """Static per-shard point capacity: N/S with 37% headroom for hash
+    imbalance, multiple of 256 (overflow drops are counted by the map)."""
+    if n_shards <= 1:
+        return n
+    cap = int(np.ceil(n / n_shards * 1.375 / 256.0)) * 256
+    return min(cap, n)
+
+
+def _compact_owned(pts, mask, owner, me, cap: int):
+    """Gather this shard's owned points into a (cap, 3) buffer so all
+    downstream per-shard work is O(N/S), not O(N)."""
+    mine = mask & (owner == me)
+    n = pts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mine, idx, jnp.int32(n))
+    order = jax.lax.sort(key)[:cap]
+    ok = order < n
+    sel = jnp.clip(order, 0, n - 1)
+    return pts[sel], ok, sel
+
+
 def sharded_update_map(state: vm.VoxelMapState, pts: jax.Array,
                        mask: jax.Array, sensor_pos: jax.Array,
                        max_distance, mesh: Mesh, *, voxel_size,
                        planarity_threshold, hierarchy_factor: int = 3,
                        mesh_axis: str = "map") -> vm.VoxelMapState:
-    """Distributed UpdateVoxelMap: every shard runs the single-chip update
-    on its owned subset of the (replicated) scan. No collectives at all —
-    per-keyframe communication is the O(scan) broadcast of the points."""
+    """Distributed UpdateVoxelMap: every shard compacts its owned subset
+    of the (replicated) scan to an O(scan/S) buffer and runs the
+    single-chip update on it. No collectives at all — per-keyframe
+    communication is the O(scan) broadcast of the points, and per-shard
+    COMPUTE is O(scan/S)."""
     n_shards = mesh.shape[mesh_axis]
+    cap = _owned_cap(pts.shape[0], n_shards)
 
     def kernel(st, p, m, spos):
         me = jax.lax.axis_index(mesh_axis)
-        mine = m & (owner_of_points(
-            p, n_shards, voxel_size=voxel_size,
-            hierarchy_factor=hierarchy_factor) == me)
-        out = vm.update_map(_local_view(st), p, mine, spos, max_distance,
+        owner = owner_of_points(p, n_shards, voxel_size=voxel_size,
+                                hierarchy_factor=hierarchy_factor)
+        p_own, ok, _ = _compact_owned(p, m, owner, me, cap)
+        out = vm.update_map(_local_view(st), p_own, ok, spos, max_distance,
                             voxel_size=voxel_size,
                             planarity_threshold=planarity_threshold,
                             hierarchy_factor=hierarchy_factor)
@@ -159,17 +185,29 @@ def sharded_icp_step(state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
     (IterativeClosestPointOptimizer.cpp:359-410).
     Returns (T_new, n_correspondences)."""
 
+    n_shards = mesh.shape[mesh_axis]
+    cap = _owned_cap(pts.shape[0], n_shards)
+
     def kernel(st, p, m, T_in):
+        # a query can only hit its parent cell's OWNER shard, so each
+        # shard compacts its owned queries and works on O(scan/S) points;
+        # the psum'd partial normal equations are exact
         R, t = lie.se3_rt(T_in)
-        p_world = p @ R.T + t[None, :]
+        p_world_all = p @ R.T + t[None, :]
+        me = jax.lax.axis_index(mesh_axis)
+        owner = owner_of_points(p_world_all, n_shards,
+                                voxel_size=cfg.voxel_size,
+                                hierarchy_factor=cfg.hierarchy_factor)
+        p_own, ok, _ = _compact_owned(p, m, owner, me, cap)
+        p_world = p_own @ R.T + t[None, :]
         normal, centroid, hit = vm.lookup_surfels(
             _local_view(st), p_world, voxel_size=cfg.voxel_size,
             hierarchy_factor=cfg.hierarchy_factor)
         r = jnp.sum(normal * (p_world - centroid), axis=-1)
-        valid = hit & m & (jnp.abs(r) <= cfg.max_correspondence_distance)
+        valid = hit & ok & (jnp.abs(r) <= cfg.max_correspondence_distance)
         w = valid.astype(jnp.float32)
         a = normal @ R
-        J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
+        J = jnp.concatenate([a, jnp.cross(p_own, a)], axis=-1)
         H = jax.lax.psum(J.T @ (J * w[:, None]), mesh_axis)
         g = jax.lax.psum(J.T @ (w * r), mesh_axis)
         n = jax.lax.psum(jnp.sum(w), mesh_axis)
