@@ -10,6 +10,11 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Persistent compilation cache: repeat invocations skip the cold compile
+# (must be set before the first jax import).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from lidar_odometry_tpu.config import load_config
 from lidar_odometry_tpu.io.kitti import KittiPlayer
 from lidar_odometry_tpu.utils import logging_util as log

@@ -150,6 +150,7 @@ class Estimator:
         self.timing_history: List[TimingStats] = []
         self.frame_count = 0
         self.loop_constraint_count = 0
+        self.loop_icp_attempts = 0
         self._chunk_runner = None
         self._chunk_carry = None
 
@@ -452,6 +453,7 @@ class Estimator:
         matched_kf = self._find_keyframe(candidate.match_keyframe_id)
         if matched_kf is None:
             return False
+        self.loop_icp_attempts += 1
 
         # Snapshot both keyframe poses under the lock: the main thread's
         # _apply_pending_pgo_result_if_available can rewrite stored_pose
@@ -671,6 +673,28 @@ class Estimator:
                 self._query_cv.notify_all()
             self._thread.join(timeout=5.0)
             self._thread = None
+
+    def finalize_loops(self):
+        """Drain the loop/PGO pipeline deterministically at end of run:
+        stop the background worker, process the NEWEST still-queued loop
+        query inline (the async worker drops queued queries on shutdown —
+        on short runs it can spend the whole run compiling and never reach
+        the lap-2 queries), and apply any pending PGO result. The
+        reference keeps running forever so it has no end-of-run drain;
+        players that save trajectories get the same effect from the final
+        `get_pose()` reads happening after the bg thread caught up."""
+        self.shutdown()
+        pending = None
+        with self._query_cv:
+            if self._query_queue:
+                pending = self._query_queue[-1]
+                self._query_queue.clear()
+        if pending is not None:
+            try:
+                self._process_loop_query(pending)
+            except Exception as e:
+                log.error("[Estimator] finalize_loops query failed: {}", repr(e))
+        self._apply_pending_pgo_result_if_available()
 
     # ------------------------------------------------------------------
     # Timing statistics (reference print_timing_statistics,

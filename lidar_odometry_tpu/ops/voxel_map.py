@@ -682,6 +682,16 @@ def l0_points(state: VoxelMapState):
     return centroid, valid
 
 
+def l1_surfels(state: VoxelMapState):
+    """All cached L1 surfels: (normals (C1,3), centroids (C1,3),
+    planarity (C1,), valid (C1,)) — the reference GetL1Surfels
+    (VoxelMap.cpp:405-418), used by the viewer's surfel-disc rendering
+    (PangolinViewer.h:131)."""
+    s = state.l1_surfel
+    valid = s[:, 7] > 0.0
+    return s[:, 0:3], s[:, 3:6], s[:, 6], valid
+
+
 # ---------------------------------------------------------------------------
 # rehash (PGO correction)
 # ---------------------------------------------------------------------------

@@ -105,6 +105,19 @@ def export_state(out_dir: str, estimator) -> None:
         kf_pos = np.stack([kf.stored_pose[:3, 3] for kf in estimator.keyframes]) \
             if estimator.keyframes else np.zeros((0, 3))
     np.savetxt(os.path.join(out_dir, "keyframes_xyz.csv"), kf_pos, delimiter=",")
+
+    # L1 surfels with normals + planarity (the reference viewer's
+    # surfel-disc rendering data, PangolinViewer.h:131 / GetL1Surfels,
+    # VoxelMap.cpp:405-418) — dumped for external inspection.
+    from .ops.voxel_map import l1_surfels
+    normals, centroids, planarity, valid = (
+        np.asarray(a) for a in l1_surfels(estimator.map_state))
+    v = np.asarray(valid, bool)
+    surf = np.concatenate([centroids[v], normals[v],
+                           planarity[v][:, None]], axis=1)
+    np.savetxt(os.path.join(out_dir, "surfels.csv"), surf, delimiter=",",
+               header="cx,cy,cz,nx,ny,nz,planarity")
+
     render_snapshot(os.path.join(out_dir, "snapshot.png"),
                     map_points=estimator.map_points(), trajectory=traj,
                     keyframe_positions=kf_pos)

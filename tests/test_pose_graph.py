@@ -152,3 +152,67 @@ def test_distributed_backend_loop_to_keyframe_zero():
     assert err_after < err_before * 0.2, (err_before, err_after)
     for k in manual:
         np.testing.assert_allclose(dist[k], manual[k], atol=1e-4)
+
+
+def test_device_gn_matches_manual_across_padding_sizes():
+    """The device-resident GN program (round-2: linearization, Schur
+    solve, retraction all jitted — parallel/distributed_pgo.py
+    gn_optimize_device) must match the host manual backend bit-tight at
+    sizes that exercise the pow2 padding edges (n == pow2, n == pow2+1,
+    n < 8 floor)."""
+    from lidar_odometry_tpu.parallel import distributed_pgo as dpgo
+
+    for n in (6, 16, 17, 37):
+        rng = np.random.default_rng(n)
+        true_poses = [_pose(x=float(i), y=0.1 * (i % 3)) for i in range(n)]
+        cur = np.eye(4)
+        noisy = [cur.copy()]
+        manual = pg.PoseGraphOptimizer(backend="manual")
+        manual.add_first_keyframe(0, noisy[0])
+        priors = [(0, noisy[0], np.sqrt(pg.make_information(1e-2, 1e-2)))]
+        betweens = []
+        for i in range(1, n):
+            rel = np.linalg.inv(true_poses[i - 1]) @ true_poses[i]
+            rel_noisy = rel.copy()
+            rel_noisy[:3, 3] += rng.normal(0, 0.02, 3)
+            cur = cur @ rel_noisy
+            noisy.append(cur.copy())
+            manual.add_keyframe_with_odom(i - 1, i, noisy[i], rel_noisy,
+                                          1.0, 1.0)
+            betweens.append((i - 1, i, rel_noisy,
+                             np.sqrt(pg.make_information(1.0, 1.0))))
+        rel_loop = np.linalg.inv(true_poses[2]) @ true_poses[n - 1]
+        assert manual.add_loop_and_optimize(2, n - 1, rel_loop, 0.5, 0.5)
+        betweens.append((2, n - 1, rel_loop,
+                         np.sqrt(pg.make_information(0.5, 0.5))))
+
+        out, ok = dpgo.gn_optimize_device(np.stack(noisy), priors, betweens)
+        assert ok, f"device GN did not converge at n={n}"
+        ref = manual.get_all_optimized_poses()
+        for i in range(n):
+            np.testing.assert_allclose(out[i], ref[i], atol=1e-8,
+                                       err_msg=f"n={n} pose {i}")
+
+
+def test_distributed_backend_uses_device_path():
+    """The distributed backend must take the device GN path, not the
+    host fallback (the fallback exists only for unsupported device
+    back-ends)."""
+    called = {}
+    opt = pg.PoseGraphOptimizer(backend="distributed")
+    orig = opt._optimize_distributed_device
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        called["result"] = r
+        return r
+
+    opt._optimize_distributed_device = spy
+    true_poses = [_pose(x=float(i)) for i in range(12)]
+    opt.add_first_keyframe(0, true_poses[0])
+    for i in range(1, 12):
+        rel = np.linalg.inv(true_poses[i - 1]) @ true_poses[i]
+        opt.add_keyframe_with_odom(i - 1, i, true_poses[i], rel, 1.0, 1.0)
+    rel_loop = np.linalg.inv(true_poses[1]) @ true_poses[11]
+    assert opt.add_loop_and_optimize(1, 11, rel_loop, 1.0, 1.0)
+    assert called.get("result") is True

@@ -49,6 +49,13 @@ def test_export_state(tmp_path):
     assert os.path.isfile(os.path.join(out, "map.ply"))
     assert os.path.isfile(os.path.join(out, "trajectory_xyz.csv"))
     assert os.path.isfile(os.path.join(out, "keyframes_xyz.csv"))
+    # surfel dump: centroid + unit normal + planarity per cached L1 surfel
+    surf = np.loadtxt(os.path.join(out, "surfels.csv"), delimiter=",",
+                      skiprows=1, ndmin=2)
+    assert surf.shape[0] > 0 and surf.shape[1] == 7
+    np.testing.assert_allclose(np.linalg.norm(surf[:, 3:6], axis=1), 1.0,
+                               atol=1e-3)
+    assert np.all(surf[:, 6] >= 0.0)
     est.shutdown()
 
 

@@ -72,10 +72,9 @@ def run(scans, enable_loop):
     t0 = time.perf_counter()
     for c in range(0, len(scans), CHUNK):
         est.process_chunk(scans[c:c + CHUNK])
-    # drain the background worker and apply any pending PGO result before
-    # reading the trajectory
-    est.shutdown()
-    est._apply_pending_pgo_result_if_available()
+    # drain the loop/PGO pipeline (process the newest still-queued query
+    # inline, apply pending PGO) before reading the trajectory
+    est.finalize_loops()
     dt = time.perf_counter() - t0
     return est, dt
 
@@ -104,6 +103,9 @@ def main():
             "segments": stats.total_segments,
             "keyframes": len(est.keyframes),
             "loop_constraints": est.loop_constraint_count,
+            "loop_queries": est.loop_detector.total_queries,
+            "loop_candidates": est.loop_detector.total_candidates,
+            "loop_icp_attempts": est.loop_icp_attempts,
             "map_dropped": int(np.asarray(est.map_state.n_dropped)),
             "wall_s": round(dt, 1),
             "fps": round(N_FRAMES / dt, 1),
