@@ -71,15 +71,16 @@ def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstan
     return chunk
 
 
-def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
-                     *, scan_voxel_size: float, point_stride: int,
-                     scan_capacity: int, keyframe_distance: float,
-                     keyframe_rotation: float, max_distance: float,
-                     planarity_threshold: float,
-                     compute_surfels: bool = True,
-                     masked_update: bool = False):
+def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
+                *, scan_voxel_size: float, point_stride: int,
+                scan_capacity: int, keyframe_distance: float,
+                keyframe_rotation: float, max_distance: float,
+                planarity_threshold: float, compute_surfels: bool = True):
+    """Split the per-frame pipeline into `pre` (filter + ICP + velocity +
+    keyframe decision — map read-only) and the two map-update styles, so
+    the single-stream and batched runners compose them differently."""
 
-    def frame_step(carry: OdomCarry, raw_scan):
+    def pre(carry: OdomCarry, raw_scan):
         feat, mask, _ = vf.voxel_filter(
             raw_scan, jnp.int32(raw_scan.shape[0]),
             voxel_size=scan_voxel_size, stride=point_stride,
@@ -108,32 +109,44 @@ def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstant
         cos_t = jnp.clip((jnp.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0)
         angle = jnp.arccos(cos_t)
         is_kf = (~carry.initialized) | (dist > keyframe_distance) | (angle > keyframe_rotation)
+        return T, velocity, is_kf, n_corr, feat, mask
 
-        if masked_update:
-            # vmap-friendly path: run the update unconditionally but make a
-            # non-keyframe a no-op (no inserts; eviction disabled by an
-            # infinite radius). Same semantics as the cond, select-safe.
+    def masked_update(map_state, T, feat, mask, is_kf):
+        # vmap/select-safe: run the update unconditionally but make a
+        # non-keyframe a no-op (no inserts; eviction disabled by an
+        # infinite radius). Same semantics as the cond.
+        world = lie.transform_points(T, feat)
+        return vm.update_map(
+            map_state, world, mask & is_kf, T[:3, 3],
+            jnp.where(is_kf, jnp.float32(max_distance), jnp.float32(1e30)),
+            voxel_size=icp_cfg.voxel_size,
+            planarity_threshold=planarity_threshold,
+            hierarchy_factor=icp_cfg.hierarchy_factor,
+            compute_surfels=compute_surfels)
+
+    def cond_update(map_state, T, feat, mask, is_kf):
+        def do_update(ms):
             world = lie.transform_points(T, feat)
-            map_state = vm.update_map(
-                carry.map_state, world, mask & is_kf, T[:3, 3],
-                jnp.where(is_kf, jnp.float32(max_distance), jnp.float32(1e30)),
+            return vm.update_map(
+                ms, world, mask, T[:3, 3], max_distance,
                 voxel_size=icp_cfg.voxel_size,
                 planarity_threshold=planarity_threshold,
                 hierarchy_factor=icp_cfg.hierarchy_factor,
                 compute_surfels=compute_surfels)
-        else:
-            def do_update(ms):
-                world = lie.transform_points(T, feat)
-                return vm.update_map(
-                    ms, world, mask, T[:3, 3], max_distance,
-                    voxel_size=icp_cfg.voxel_size,
-                    planarity_threshold=planarity_threshold,
-                    hierarchy_factor=icp_cfg.hierarchy_factor,
-                    compute_surfels=compute_surfels)
 
-            map_state = jax.lax.cond(is_kf, do_update, lambda ms: ms,
-                                     carry.map_state)
+        return jax.lax.cond(is_kf, do_update, lambda ms: ms, map_state)
 
+    return pre, masked_update, cond_update
+
+
+def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
+                     *, masked_update: bool = False, **kw):
+    pre, mupd, cupd = _make_parts(icp_cfg, pko_consts, **kw)
+
+    def frame_step(carry: OdomCarry, raw_scan):
+        T, velocity, is_kf, n_corr, feat, mask = pre(carry, raw_scan)
+        upd = mupd if masked_update else cupd
+        map_state = upd(carry.map_state, T, feat, mask, is_kf)
         new_carry = OdomCarry(
             map_state=map_state, T_prev=T, velocity=velocity,
             last_kf_pose=jnp.where(is_kf, T, carry.last_kf_pose),
@@ -152,22 +165,42 @@ def init_batched_carry(batch: int, c0: int, c1: int) -> OdomCarry:
 
 def make_batched_chunk_runner(icp_cfg: icp_ops.ICPConfig,
                               pko_consts: pko_ops.PKOConstants, **kw):
-    """Multi-sequence throughput mode: the whole frame step vmapped over a
-    leading batch of independent sequences (the data-parallel axis of
-    SURVEY.md §2.4, on one chip). Under vmap, lax.cond becomes a select
-    that executes the map update every frame, so the update is made
-    semantically keyframe-only by masking its inputs (a non-keyframe
-    inserts nothing and evicts nothing) rather than by branching.
+    """Multi-sequence throughput mode: the per-frame pipeline batched over
+    B independent sequences (the data-parallel axis of SURVEY.md §2.4, on
+    one chip). The ICP/filter stage is vmapped per frame; the map update
+    is vmapped under ONE batch-level `lax.cond` on `any(is_kf)` — frames
+    where no sequence keyframes skip the update entirely (a round-1
+    version vmapped the whole step, which turned the per-sequence cond
+    into a select and paid the full update every frame), and per-sequence
+    no-ops stay masked. The carry is donated like the single-stream
+    runner, so the B map states update in place.
 
     chunk(carry_B, scans (B, F, N, 3)) -> (carry_B, (poses (B, F, 4, 4),
     is_kf (B, F), n_corr (B, F))).
     """
-    inner = _make_frame_step(icp_cfg, pko_consts, masked_update=True, **kw)
+    pre, mupd, _ = _make_parts(icp_cfg, pko_consts, **kw)
 
-    @jax.jit
+    def bstep(carry: OdomCarry, raw_scans):
+        T, velocity, is_kf, n_corr, feat, mask = jax.vmap(pre)(carry, raw_scans)
+
+        def do(ms):
+            return jax.vmap(mupd)(ms, T, feat, mask, is_kf)
+
+        map_state = jax.lax.cond(jnp.any(is_kf), do, lambda ms: ms,
+                                 carry.map_state)
+        new_carry = OdomCarry(
+            map_state=map_state, T_prev=T, velocity=velocity,
+            last_kf_pose=jnp.where(is_kf[:, None, None], T,
+                                   carry.last_kf_pose),
+            initialized=jnp.ones_like(carry.initialized),
+            kf_count=carry.kf_count + is_kf.astype(jnp.int32))
+        return new_carry, (T, is_kf, n_corr)
+
+    @partial(jax.jit, donate_argnums=(0,))
     def chunk(carry: OdomCarry, scans):
-        def scan_one(c, xs):
-            return jax.lax.scan(inner, c, xs)
-        return jax.vmap(scan_one)(carry, scans)
+        carry, (T, is_kf, n_corr) = jax.lax.scan(
+            bstep, carry, jnp.swapaxes(scans, 0, 1))
+        return carry, (jnp.swapaxes(T, 0, 1), jnp.swapaxes(is_kf, 0, 1),
+                       jnp.swapaxes(n_corr, 0, 1))
 
     return chunk
