@@ -178,16 +178,24 @@ def make_batched_chunk_runner(icp_cfg: icp_ops.ICPConfig,
     chunk(carry_B, scans (B, F, N, 3)) -> (carry_B, (poses (B, F, 4, 4),
     is_kf (B, F), n_corr (B, F))).
     """
-    pre, mupd, _ = _make_parts(icp_cfg, pko_consts, **kw)
+    pre, _, cupd = _make_parts(icp_cfg, pko_consts, **kw)
 
     def bstep(carry: OdomCarry, raw_scans):
         T, velocity, is_kf, n_corr, feat, mask = jax.vmap(pre)(carry, raw_scans)
 
-        def do(ms):
-            return jax.vmap(mupd)(ms, T, feat, mask, is_kf)
+        # Per-lane REAL conditionals via a lane scan, not vmap: update_map
+        # is internally cond-tiered (steady vs bulk caps, evict gating),
+        # and under vmap every cond becomes a select that executes BOTH
+        # branches for all lanes every frame — measured 10x slower than
+        # single-stream. A scan over the B lanes keeps each lane's
+        # keyframe cond (and the conds inside update_map) as true
+        # branches, so non-keyframe lanes cost nothing.
+        def lane(_, xs):
+            ms, T_l, feat_l, mask_l, kf_l = xs
+            return _, cupd(ms, T_l, feat_l, mask_l, kf_l)
 
-        map_state = jax.lax.cond(jnp.any(is_kf), do, lambda ms: ms,
-                                 carry.map_state)
+        _, map_state = jax.lax.scan(
+            lane, 0, (carry.map_state, T, feat, mask, is_kf))
         new_carry = OdomCarry(
             map_state=map_state, T_prev=T, velocity=velocity,
             last_kf_pose=jnp.where(is_kf[:, None, None], T,

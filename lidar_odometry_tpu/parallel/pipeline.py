@@ -26,7 +26,7 @@ from ..ops import icp as icp_ops
 from ..ops import voxel_map as vm
 from ..utils import lie
 from .sharded_map import _SCALARS, _compact_owned, _local_view, \
-    _owned_cap, _wrap_scalars, map_specs, owner_of_points
+    _owned_cap, _wrap_scalars, map_specs, owner_of_points, robust_icp_loop
 
 __all__ = ["multichip_odometry_step", "batched_sharded_map_state"]
 
@@ -56,6 +56,7 @@ def batched_sharded_map_state(batch: int, c0_total: int, c1_total: int,
 def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
                             *, update_max_distance: float = 120.0,
                             planarity_threshold: float = 0.1,
+                            pko_consts=None,
                             data_axis: str = "data", map_axis: str = "map"):
     """Build the jitted multi-chip step.
 
@@ -73,29 +74,10 @@ def multichip_odometry_step(mesh: Mesh, cfg: icp_ops.ICPConfig,
             st = _local_view(st)
             me = jax.lax.axis_index(map_axis)
 
-            def icp_iter(_, T_cur):
-                R, t = lie.se3_rt(T_cur)
-                p_world_all = p @ R.T + t[None, :]
-                owner = owner_of_points(p_world_all, n_shards,
-                                        voxel_size=cfg.voxel_size,
-                                        hierarchy_factor=cfg.hierarchy_factor)
-                p_own, ok, _ = _compact_owned(p, m, owner, me, cap)
-                p_world = p_own @ R.T + t[None, :]
-                normal, centroid, hit = vm.lookup_surfels(
-                    st, p_world, voxel_size=cfg.voxel_size,
-                    hierarchy_factor=cfg.hierarchy_factor)
-                r = jnp.sum(normal * (p_world - centroid), axis=-1)
-                valid = hit & ok & (jnp.abs(r) <= cfg.max_correspondence_distance)
-                w = valid.astype(jnp.float32)
-                a = normal @ R
-                J = jnp.concatenate([a, jnp.cross(p_own, a)], axis=-1)
-                H = jax.lax.psum(J.T @ (J * w[:, None]), map_axis)
-                g = jax.lax.psum(J.T @ (w * r), map_axis)
-                H = H + jnp.eye(6) * 1e-6
-                delta = jnp.linalg.solve(H, -g)
-                return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
-
-            T_new = jax.lax.fori_loop(0, cfg.max_iterations, icp_iter, T0)
+            # full-parity distributed ICP: sigma/6 normalization, PKO,
+            # robust weights, early exit (sharded_map.robust_icp_loop)
+            T_new, _success, _n = robust_icp_loop(
+                st, p, m, T0, cap, n_shards, map_axis, cfg, pko_consts)
             T_new = lie.se3_matrix(lie.so3_project(T_new[:3, :3]), T_new[:3, 3])
 
             # shard-local masked keyframe update on the O(scan/S) owned

@@ -39,7 +39,8 @@ from ..utils import lie
 
 __all__ = ["sharded_empty_map", "owner_of_points", "sharded_update_map",
            "sharded_lookup_surfels", "sharded_icp_step",
-           "sharded_transform_and_rehash", "map_specs", "gather_state"]
+           "sharded_icp_optimize", "sharded_transform_and_rehash",
+           "map_specs", "gather_state"]
 
 _SCALARS = ("l0_free_top", "n_l0", "l1_free_top", "n_l1", "n_dropped")
 
@@ -220,6 +221,111 @@ def sharded_icp_step(state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
         kernel, mesh=mesh,
         in_specs=(map_specs(mesh_axis), P(), P(), P()),
         out_specs=(P(), P()), check_vma=False)(state, pts, mask, T)
+
+
+def robust_icp_loop(local_state: vm.VoxelMapState, p, m, T0, cap: int,
+                    n_shards: int, mesh_axis: str, cfg: icp_ops.ICPConfig,
+                    pko_consts=None):
+    """Per-shard body of the FULL distributed ICP with the single-chip
+    engine's semantics (ops/icp.icp_optimize): iteration-0 residual
+    normalization sigma/6 via psum'd moments, PKO adaptive delta on the
+    all_gathered normalized residuals (O(scan) bytes — 64 KB at 16k pts,
+    latency-trivial on ICI), huber/cauchy robust weights, early-exit
+    while_loop, and fall-back-to-guess on failure (reference
+    IterativeClosestPointOptimizer.cpp:255-463). Call inside a shard_map
+    (optionally under vmap over a sequence batch).
+
+    Returns (T_opt, success, n_correspondences)."""
+    from ..ops import pko as pko_ops
+    from ..ops.icp import _robust_weights
+
+    me = jax.lax.axis_index(mesh_axis)
+
+    def body(carry):
+        i, T, done, scale, n_corr, failed = carry
+        R, t = lie.se3_rt(T)
+        pw_all = p @ R.T + t[None, :]
+        owner = owner_of_points(pw_all, n_shards, voxel_size=cfg.voxel_size,
+                                hierarchy_factor=cfg.hierarchy_factor)
+        p_own, ok, _ = _compact_owned(p, m, owner, me, cap)
+        pw = p_own @ R.T + t[None, :]
+        normal, centroid, hit = vm.lookup_surfels(
+            local_state, pw, voxel_size=cfg.voxel_size,
+            hierarchy_factor=cfg.hierarchy_factor)
+        r = jnp.sum(normal * (pw - centroid), axis=-1)
+        r_abs = jnp.abs(r)
+        valid = hit & ok & (r_abs <= cfg.max_correspondence_distance)
+        w = valid.astype(jnp.float32)
+        count = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), mesh_axis)
+        insufficient = count < cfg.min_correspondence_points
+
+        # sigma/6 normalization from GLOBAL moments (icp.py _norm_scale_from)
+        n = jnp.maximum(jax.lax.psum(jnp.sum(w), mesh_axis), 1.0)
+        mean = jax.lax.psum(jnp.sum(r_abs * w), mesh_axis) / n
+        var = jax.lax.psum(jnp.sum(((r_abs - mean) ** 2) * w), mesh_axis) / n
+        new_scale = jnp.where(i == 0, jnp.sqrt(var) / 6.0, scale)
+        norm_resid = r_abs / jnp.maximum(new_scale, 1e-6)
+
+        if cfg.use_adaptive_m_estimator and pko_consts is not None:
+            nr_all = jax.lax.all_gather(norm_resid, mesh_axis, tiled=True)
+            v_all = jax.lax.all_gather(valid, mesh_axis, tiled=True)
+            delta = pko_ops.pko_scale_factor(nr_all, v_all, pko_consts)
+        else:
+            delta = jnp.asarray(cfg.robust_loss_delta, jnp.float32)
+
+        if cfg.use_robust_loss:
+            w_rob = _robust_weights(norm_resid, delta, cfg.loss_type) * w
+        else:
+            w_rob = w
+        a = normal @ R
+        J = jnp.concatenate([a, jnp.cross(p_own, a)], axis=-1)
+        H = jax.lax.psum(J.T @ (J * w_rob[:, None]), mesh_axis)
+        g = jax.lax.psum(J.T @ (w_rob * r), mesh_axis)
+        H = H + jnp.eye(6) * 1e-8
+        delta_x = jnp.linalg.solve(H, -g)
+        fin = jnp.all(jnp.isfinite(delta_x))
+        dt = jnp.where(fin, delta_x[:3], 0.0)
+        dw = jnp.where(fin, delta_x[3:], 0.0)
+        T_new = T @ lie.se3_from_exp_rt(dt, dw)
+        converged = ((jnp.linalg.norm(dt) < cfg.translation_tolerance)
+                     & (jnp.linalg.norm(dw) < cfg.rotation_tolerance))
+
+        step_active = ~done & ~insufficient
+        T_out = jnp.where(step_active, T_new, T)
+        done_out = done | insufficient | (step_active & converged)
+        failed_out = failed | (~done & insufficient)
+        n_corr_out = jnp.where(step_active, count, n_corr)
+        return (i + 1, T_out, done_out, new_scale, n_corr_out, failed_out)
+
+    def cond(carry):
+        i, _T, done, _s, _n, _f = carry
+        return (i < cfg.max_iterations) & ~done
+
+    init = (jnp.int32(0), T0, jnp.bool_(False), jnp.float32(1.0),
+            jnp.int32(0), jnp.bool_(False))
+    _, T, done, scale, n_corr, failed = jax.lax.while_loop(cond, body, init)
+    success = ~failed
+    return jnp.where(success, T, T0), success, n_corr
+
+
+def sharded_icp_optimize(state: vm.VoxelMapState, pts: jax.Array,
+                         mask: jax.Array, T_init: jax.Array, mesh: Mesh,
+                         cfg: icp_ops.ICPConfig, pko_consts=None,
+                         mesh_axis: str = "map"):
+    """Full distributed scan-to-map ICP with single-chip engine parity
+    (sigma/6 + PKO + robust weights + early exit) — the multichip
+    equivalent of ops/icp.icp_optimize. Returns (T_opt, success, n)."""
+    n_shards = mesh.shape[mesh_axis]
+    cap = _owned_cap(pts.shape[0], n_shards)
+
+    def kernel(st, p, m, T_in):
+        return robust_icp_loop(_local_view(st), p, m, T_in, cap, n_shards,
+                               mesh_axis, cfg, pko_consts)
+
+    return jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(map_specs(mesh_axis), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)(state, pts, mask, T_init)
 
 
 def sharded_transform_and_rehash(state: vm.VoxelMapState, T: jax.Array,

@@ -213,3 +213,62 @@ def test_graft_entry_and_dryrun():
     assert bool(success)
     assert np.all(np.isfinite(np.asarray(T)))
     ge.dryrun_multichip(8)
+
+
+def test_sharded_icp_optimize_full_parity_semantics():
+    """The FULL distributed ICP (sigma/6 normalization + PKO + robust
+    weights + early exit, sharded_map.sharded_icp_optimize) must converge
+    to the single-chip engine's optimum (ops/icp.icp_optimize) on the
+    same scan/map. PKO subsampling sees a different (gathered) residual
+    ordering, so per-iteration deltas differ slightly — the CONVERGED
+    poses must agree."""
+    from lidar_odometry_tpu.io import synthetic
+    from lidar_odometry_tpu.ops import pko
+
+    mesh = mesh_mod.make_mesh(8, ("map",))
+    world, single, sharded, pose, rng = _build_both(mesh, seed=2)
+    true_pose = pose.copy()
+    true_pose[0, 3] += 0.35
+    true_pose[1, 3] += 0.1
+    scan = synthetic.sample_scan(world, true_pose, 6000, rng,
+                                 max_range=40.0, noise=0.005)
+    pts = jnp.asarray(scan)
+    mask = jnp.ones(len(scan), bool)
+    guess = true_pose.copy()
+    guess[0, 3] += 0.15
+    guess[1, 3] -= 0.05
+
+    cfg = icp.ICPConfig(max_iterations=8, voxel_size=0.5,
+                        use_robust_loss=True, loss_type="huber",
+                        use_adaptive_m_estimator=True)
+    consts = pko.make_pko_constants(0.1, 10.0, 100, 10.0, "huber", 3, 100)
+
+    T_single, ok_s, n_s = icp.icp_optimize(single, pts, mask,
+                                           jnp.asarray(guess), consts, cfg)
+    T_shard, ok_d, n_d = sm.sharded_icp_optimize(
+        sharded, pts, mask, jnp.asarray(guess), mesh, cfg, consts)
+    assert bool(ok_s) and bool(ok_d)
+    # both must recover the true pose
+    np.testing.assert_allclose(np.asarray(T_single)[:3, 3],
+                               true_pose[:3, 3], atol=0.02)
+    np.testing.assert_allclose(np.asarray(T_shard)[:3, 3],
+                               true_pose[:3, 3], atol=0.02)
+    # and agree with each other at the optimum
+    np.testing.assert_allclose(np.asarray(T_shard), np.asarray(T_single),
+                               atol=5e-3)
+
+
+def test_sharded_icp_optimize_insufficient_falls_back_to_guess():
+    """Failure semantics parity: too few correspondences -> the initial
+    guess comes back with success=False (reference Estimator.cpp:304-307)."""
+    mesh = mesh_mod.make_mesh(8, ("map",))
+    sharded = sm.sharded_empty_map(C0 * 8, C1 * 8, mesh, "map")  # empty map
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-10, 10, (512, 3)),
+                      jnp.float32)
+    mask = jnp.ones(512, bool)
+    guess = jnp.eye(4)
+    cfg = icp.ICPConfig(max_iterations=4, voxel_size=0.5)
+    T, ok, n = sm.sharded_icp_optimize(sharded, pts, mask, guess, mesh, cfg)
+    assert not bool(ok)
+    assert int(n) == 0
+    np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-7)

@@ -76,6 +76,9 @@ def main():
         m[: len(s)] = True
         scans.append((buf, m))
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tputime import device_time_ms
+
     results = {}
     t1_update = t1_icp = None
     for S in (1, 2, 4, 8):
@@ -84,61 +87,82 @@ def main():
         cfg = icp.ICPConfig(max_iterations=ICP_ITERS, voxel_size=0.5,
                             use_adaptive_m_estimator=False)
 
-        @jax.jit
-        def upd(st, p, m, spos):
-            return vm.update_map(st, p, m, spos, 120.0, voxel_size=0.5,
-                                 planarity_threshold=0.1)
-
-        @jax.jit
-        def icp_iter(st, p, m, T):
-            # the shard-local body of sharded_icp_step (post-compaction)
-            R, t = lie.se3_rt(T)
-            pw = p @ R.T + t[None, :]
-            normal, centroid, hit = vm.lookup_surfels(st, pw, voxel_size=0.5)
-            r = jnp.sum(normal * (pw - centroid), axis=-1)
-            w = (hit & m & (jnp.abs(r) <= 1.0)).astype(jnp.float32)
-            a = normal @ R
-            J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
-            H = J.T @ (J * w[:, None]) + jnp.eye(6) * 1e-8
-            g = J.T @ (w * r)
-            delta = jnp.linalg.solve(H, -g)
-            return T @ lie.se3_from_exp_rt(delta[:3], delta[3:]), jnp.sum(w)
-
         def shard_pts(i):
-            # this shard's owned subset (every S-th point approximates the
-            # parent-hash split), compacted to the static cap
+            # shard 0's owned subset under the REAL parent-hash split
+            # (sharded_map.owner_of_points), compacted to the static cap —
+            # a spatially disjoint set of cells, NOT a point subsample
+            # (every-S-th-point would cover ~all voxels in 1/S capacity)
             buf, m = scans[i]
+            owner = np.asarray(sm.owner_of_points(
+                jnp.asarray(buf), S, voxel_size=0.5))
+            mine = m & (owner == 0)
+            sel = np.nonzero(mine)[0][:cap]
             p = np.zeros((cap, 3), np.float32)
             mm = np.zeros(cap, bool)
-            sel = np.arange(0, N_PTS, S)[:cap]
             p[: len(sel)] = buf[sel]
-            mm[: len(sel)] = m[sel]
-            return jnp.asarray(p), jnp.asarray(mm)
+            mm[: len(sel)] = True
+            return p, mm
 
-        st = vm.empty_map(c0, c1)
-        # build to steady state
-        for i in range(24):
-            p, m = shard_pts(i)
-            st = upd(st, p, m, jnp.asarray(poses[i][:3, 3]))
+        # pre-stage everything on device: wall clock over the axon tunnel
+        # is dispatch-dominated, so all timing below is DEVICE time from
+        # the profiler (tools/tputime.py) over multi-frame chained programs
+        staged = [shard_pts(i) for i in range(48)]
+        P_all = jnp.asarray(np.stack([s[0] for s in staged]))
+        M_all = jnp.asarray(np.stack([s[1] for s in staged]))
+        SP_all = jnp.asarray(np.stack([p[:3, 3] for p in poses],
+                                      dtype=np.float32))
+
+        @jax.jit
+        def build24(st):
+            def step(st, xs):
+                p, m, sp = xs
+                return vm.update_map(st, p, m, sp, 120.0, voxel_size=0.5,
+                                     planarity_threshold=0.1), 0
+            st, _ = jax.lax.scan(step, st, (P_all[:24], M_all[:24],
+                                            SP_all[:24]))
+            return st
+
+        K = 8
+
+        @jax.jit
+        def upd_chain(st):
+            def step(st, xs):
+                p, m, sp = xs
+                return vm.update_map(st, p, m, sp, 120.0, voxel_size=0.5,
+                                     planarity_threshold=0.1), 0
+            st, _ = jax.lax.scan(step, st, (P_all[24:24 + K],
+                                            M_all[24:24 + K],
+                                            SP_all[24:24 + K]))
+            return st
+
+        @jax.jit
+        def icp_chain(st, T):
+            # ICP_ITERS shard-local GN iterations (the post-compaction
+            # body of sharded_map.robust_icp_loop, minus collectives)
+            p, m = P_all[40], M_all[40]
+
+            def it(_, T_cur):
+                R, t = lie.se3_rt(T_cur)
+                pw = p @ R.T + t[None, :]
+                normal, centroid, hit = vm.lookup_surfels(st, pw,
+                                                          voxel_size=0.5)
+                r = jnp.sum(normal * (pw - centroid), axis=-1)
+                w = (hit & m & (jnp.abs(r) <= 1.0)).astype(jnp.float32)
+                a = normal @ R
+                J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
+                H = J.T @ (J * w[:, None]) + jnp.eye(6) * 1e-8
+                g = J.T @ (w * r)
+                delta = jnp.linalg.solve(H, -g)
+                return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
+
+            return jax.lax.fori_loop(0, ICP_ITERS, it, T)
+
+        st = build24(vm.empty_map(c0, c1))
         jax.block_until_ready(st)
-
-        t0 = time.perf_counter()
-        for i in range(24, 48):
-            p, m = shard_pts(i)
-            st = upd(st, p, m, jnp.asarray(poses[i][:3, 3]))
-        jax.block_until_ready(st)
-        t_upd = (time.perf_counter() - t0) / 24
-
-        p, m = shard_pts(40)
-        T = jnp.asarray(poses[40], jnp.float32)
-        for _ in range(4):  # warm
-            T, _ = icp_iter(st, p, m, T)
-        jax.block_until_ready(T)
-        t0 = time.perf_counter()
-        for _ in range(32):
-            T, _ = icp_iter(st, p, m, T)
-        jax.block_until_ready(T)
-        t_icp = (time.perf_counter() - t0) / 32
+        t_upd = device_time_ms(upd_chain, st, n=4) / K / 1e3
+        T0 = jnp.asarray(poses[40], jnp.float32)
+        t_icp = device_time_ms(icp_chain, st, T0, n=4) / ICP_ITERS / 1e3
+        st = upd_chain(st)  # advance for the reported n_l0
 
         if S == 1:
             t1_update, t1_icp = t_upd, t_icp
