@@ -76,7 +76,7 @@ MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 
 BUCKET = 8                  # cells per hash bucket (one row gather probes all)
 ROW = 32                    # i32 columns per index row: slot x8, hi x8, lo x8, pad
-EVICT_CAP = 8192
+EVICT_LIST = 4096           # per-update eviction list (excess defers; see Step 1)
 SMALL_CAP = 4096            # steady-state tier: new-key/affected/delete caps
 INVALID_I32 = -1            # bitcast of K.INVALID_HI / K.INVALID_LO
 
@@ -351,50 +351,41 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     p = new_pts.shape[0]
     f32 = jnp.float32
 
-    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), cond-gated:
-    # the untaken identity branch costs one operand copy (~0.9 ms/update),
-    # which measures cheaper than running the eviction scatters
-    # unconditionally (~1.6 ms). ----
+    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), UNCONDITIONAL
+    # masked writes at a small list cap (a lax.cond identity branch
+    # copies every carried table when the update is not donated —
+    # ~0.9 ms/update measured on v5e; with a donated carry the two
+    # designs measure even, and this one is branch-free and compiles
+    # smaller). Evictions beyond the cap defer to the next update — the
+    # radius mask is recomputed from live centroids every update, so
+    # nothing is lost, only delayed. ----
     cnt0 = state.l0_data[:, 0]
     valid0 = cnt0 > 0.0
     centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt0, 1.0)[:, None]
     dist_sq = jnp.sum((centroid - sensor_pos[None, :]) ** 2, axis=-1)
     evict = valid0 & (dist_sq > max_distance * max_distance)
 
-    def do_evict(args):
-        index, meta, data, children, l1_meta, free, top = args
-        ev_list, _ = _compact(evict, EVICT_CAP)
-        ev_ok = ev_list >= 0
-        ev = jnp.clip(ev_list, 0, c0 - 1)
-        emeta = meta[ev]
-        index = _erase_cells(index, emeta[:, 3], ev_ok)
-        ecoords = K.unpack_key(
-            jax.lax.bitcast_convert_type(emeta[:, 0], jnp.uint32),
-            jax.lax.bitcast_convert_type(emeta[:, 1], jnp.uint32))
-        eoff = _child_offset_of(ecoords)
-        par = emeta[:, 2]
-        has_par = ev_ok & (par >= 0)
-        ptgt = jnp.where(has_par, par, c1)
-        children = children.at[ptgt, jnp.where(has_par, eoff, 0)].set(
-            -1, mode="drop")
-        # incremental child counter (UnregisterFromParent,
-        # VoxelMap.cpp:82-97)
-        l1_meta = l1_meta.at[ptgt, 2].add(
-            jnp.where(has_par, -1, 0), mode="drop")
-        meta, data, free, top = _free_l0(meta, data, free, top, ev, ev_ok)
-        return index, meta, data, children, l1_meta, free, top, \
-            jnp.where(has_par, par, -1)
-
-    def no_evict(args):
-        index, meta, data, children, l1_meta, free, top = args
-        return index, meta, data, children, l1_meta, free, top, \
-            jnp.full((EVICT_CAP,), -1, jnp.int32)
-
-    (l0_index, l0_meta, l0_data, l1_children, l1_meta0, l0_free, l0_top,
-     evpar) = jax.lax.cond(
-        jnp.any(evict), do_evict, no_evict,
-        (state.l0_index, state.l0_meta, state.l0_data, state.l1_children,
-         state.l1_meta, state.l0_free, state.l0_free_top))
+    ev_list, _ = _compact(evict, EVICT_LIST)
+    ev_ok = ev_list >= 0
+    ev = jnp.clip(ev_list, 0, c0 - 1)
+    emeta = state.l0_meta[ev]
+    l0_index = _erase_cells(state.l0_index, emeta[:, 3], ev_ok)
+    ecoords = K.unpack_key(
+        jax.lax.bitcast_convert_type(emeta[:, 0], jnp.uint32),
+        jax.lax.bitcast_convert_type(emeta[:, 1], jnp.uint32))
+    eoff = _child_offset_of(ecoords)
+    par = emeta[:, 2]
+    has_par = ev_ok & (par >= 0)
+    ptgt = jnp.where(has_par, par, c1)
+    l1_children = state.l1_children.at[
+        ptgt, jnp.where(has_par, eoff, 0)].set(-1, mode="drop")
+    # incremental child counter (UnregisterFromParent, VoxelMap.cpp:82-97)
+    l1_meta0 = state.l1_meta.at[ptgt, 2].add(
+        jnp.where(has_par, -1, 0), mode="drop")
+    l0_meta, l0_data, l0_free, l0_top = _free_l0(
+        state.l0_meta, state.l0_data, state.l0_free, state.l0_free_top,
+        ev, ev_ok)
+    evpar = jnp.where(has_par, par, -1)
 
     # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size
@@ -469,7 +460,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             cand_slot = jnp.concatenate([jnp.where(reg, par_slot, c1),
                                          jnp.where(evpar >= 0, evpar, c1)])
             cand_new = jnp.concatenate([jnp.ones((new_cap,), bool),
-                                        jnp.zeros((EVICT_CAP,), bool)])
+                                        jnp.zeros((EVICT_LIST,), bool)])
             m2 = cand_slot.shape[0]
             # sort by (slot, ~is_new) so each group's leader carries is_new
             skey2 = cand_slot * 2 + (1 - cand_new.astype(jnp.int32))
@@ -528,47 +519,35 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 freed = aff_ok & (cnt_post == 0)
 
                 # ---- non-planar deletion (VoxelMap.cpp:244-253) + freeing
-                # of emptied L1 cells, ONE cond: both are rare in steady
-                # state, and each lax.cond's untaken identity branch costs
-                # an operand copy ----
-                def do_delete_free(a):
-                    (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                     l1_children, l1_meta, l1_index, l1_free, l1_top) = a
-                    delk = kids_ok & r_non_planar[:, None]
-                    dk_list, _ = _compact(delk.reshape(-1), 27 * (r_cap // 8))
-                    dk_ok = dk_list >= 0
-                    dkc = jnp.clip(dk_list, 0, kids.size - 1)
-                    dslot = jnp.where(dk_ok, kids.reshape(-1)[dkc], c0)
-                    ds_c = jnp.clip(dslot, 0, c0 - 1)
-                    dcell = l0_meta[ds_c, 3]
-                    l0_index = _erase_cells(l0_index, dcell,
-                                            dk_ok & (dslot < c0))
-                    l0_meta, l0_data, l0_free, l0_top = _free_l0(
-                        l0_meta, l0_data, l0_free, l0_top,
-                        ds_c, dk_ok & (dslot < c0))
-                    dtgt = jnp.where(r_non_planar, r_slot, c1)
-                    l1_children = l1_children.at[dtgt].set(-1, mode="drop")
-                    l1_meta = l1_meta.at[dtgt, 2].set(0, mode="drop")
+                # of emptied L1 cells, UNCONDITIONAL masked writes (the
+                # lax.cond identity branch copies every carried table when
+                # not donated, ~1.35 ms/update on v5e; see Step 1 note) ----
+                delk = kids_ok & r_non_planar[:, None]
+                dk_list, _ = _compact(delk.reshape(-1), 27 * (r_cap // 8))
+                dk_ok = dk_list >= 0
+                dkc = jnp.clip(dk_list, 0, kids.size - 1)
+                dslot = jnp.where(dk_ok, kids.reshape(-1)[dkc], c0)
+                ds_c = jnp.clip(dslot, 0, c0 - 1)
+                dcell = l0_meta[ds_c, 3]
+                l0_index = _erase_cells(l0_index, dcell,
+                                        dk_ok & (dslot < c0))
+                l0_meta, l0_data, l0_free, l0_top = _free_l0(
+                    l0_meta, l0_data, l0_free, l0_top,
+                    ds_c, dk_ok & (dslot < c0))
+                dtgt = jnp.where(r_non_planar, r_slot, c1)
+                l1_children = l1_children.at[dtgt].set(-1, mode="drop")
+                l1_meta = l1_meta.at[dtgt, 2].set(0, mode="drop")
 
-                    fslot = jnp.where(freed, aff_slot, c1)
-                    fc = jnp.clip(fslot, 0, c1 - 1)
-                    l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
-                    l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
-                    l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
-                    frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
-                    l1_free = l1_free.at[
-                        jnp.where(freed, l1_top + frank, c1)].set(
-                        jnp.where(freed, aff_slot, -1), mode="drop")
-                    l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
-                    return (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                            l1_children, l1_meta, l1_index, l1_free, l1_top)
-
-                (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                 l1_children, l1_meta, l1_index, l1_free, l1_top) = jax.lax.cond(
-                    jnp.any(r_non_planar) | jnp.any(freed), do_delete_free,
-                    lambda a: a,
-                    (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                     l1_children, l1_meta, l1_index, l1_free, l1_top))
+                fslot = jnp.where(freed, aff_slot, c1)
+                fc = jnp.clip(fslot, 0, c1 - 1)
+                l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
+                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
+                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                l1_free = l1_free.at[
+                    jnp.where(freed, l1_top + frank, c1)].set(
+                    jnp.where(freed, aff_slot, -1), mode="drop")
+                l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
                 cnt = cnt_post
                 has_out = has_out & ~non_planar
             else:
@@ -580,26 +559,19 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 use_new = jnp.zeros((aff_cap,), bool)
                 has_out = jnp.zeros((aff_cap,), bool)
 
-                # still free cells emptied by eviction
+                # still free cells emptied by eviction (unconditional
+                # masked writes; see the delete/free note above)
                 freed = aff_ok & (cnt == 0)
-
-                def do_free(a):
-                    l1_index, l1_meta, l1_free, l1_top = a
-                    fslot = jnp.where(freed, aff_slot, c1)
-                    fc = jnp.clip(fslot, 0, c1 - 1)
-                    l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
-                    l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
-                    l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
-                    frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
-                    l1_free = l1_free.at[
-                        jnp.where(freed, l1_top + frank, c1)].set(
-                        jnp.where(freed, aff_slot, -1), mode="drop")
-                    return (l1_index, l1_meta, l1_free,
-                            l1_top + jnp.sum(freed.astype(jnp.int32)))
-
-                l1_index, l1_meta, l1_free, l1_top = jax.lax.cond(
-                    jnp.any(freed), do_free, lambda a: a,
-                    (l1_index, l1_meta, l1_free, l1_top))
+                fslot = jnp.where(freed, aff_slot, c1)
+                fc = jnp.clip(fslot, 0, c1 - 1)
+                l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
+                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
+                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+                l1_free = l1_free.at[
+                    jnp.where(freed, l1_top + frank, c1)].set(
+                    jnp.where(freed, aff_slot, -1), mode="drop")
+                l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
 
             # ---- write back: new surfel payloads at recomputing cells,
             # has flags over the whole affected list ----
@@ -626,13 +598,13 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
      n_dropped) = jax.lax.cond(
         n_unres <= min(SMALL_CAP, p),
         # caps never exceed what the input size can produce: at most p new
-        # voxels, at most p + EVICT_CAP affected parents — so small scans
+        # voxels, at most p + EVICT_LIST affected parents — so small scans
         # (e.g. O(scan/S) per-shard buffers in the sharded map) get
         # proportionally small update programs instead of paying the
         # full-scan tier constants
         tier(min(SMALL_CAP, p), min(SMALL_CAP, p),
              max(min(SMALL_CAP * 3 // 8, p), 8)),
-        tier(p, min(2 * SMALL_CAP, p + EVICT_CAP), min(2 * SMALL_CAP, p)),
+        tier(p, min(2 * SMALL_CAP, p + EVICT_LIST), min(2 * SMALL_CAP, p)),
         args)
 
     return VoxelMapState(
