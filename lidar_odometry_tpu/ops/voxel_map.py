@@ -1,6 +1,6 @@
-"""2-level hierarchical voxel surfel map — bucketed exact hash index +
-slot stores + free-slot stacks (TPU-native redesign of the reference
-VoxelMap, reference src/database/VoxelMap.{h,cpp}).
+"""2-level hierarchical voxel surfel map — parent-relative child store +
+bucketed exact hash index over parents (TPU-native redesign of the
+reference VoxelMap, reference src/database/VoxelMap.{h,cpp}).
 
 Reference semantics preserved:
   * L0 leaf voxels hold a running centroid (kept as sum+count so merges
@@ -8,9 +8,9 @@ Reference semantics preserved:
   * L1 parents (hierarchy_factor=3 => 3x3x3 children, Estimator.cpp:79)
     cache a surfel (normal from PCA of child centroids, centroid,
     planarity = sigma_min/sigma_max) — VoxelMap.cpp:187-261.
-  * Per-keyframe update: radius eviction beyond max_distance
-    (VoxelMap.cpp:146-158), point insertion, surfel recompute only for
-    L1 cells whose CHILD SET changed (new-child registration or
+  * Per-keyframe update: radius eviction beyond max_distance by L0
+    centroid (VoxelMap.cpp:146-158), point insertion, surfel recompute
+    only for L1 cells whose CHILD SET changed (new-child registration or
     eviction); unchanged-child-count cells keep cached surfels
     (VoxelMap.cpp:203); non-planar recomputed cells are DELETED with
     their children (VoxelMap.cpp:244-253); eviction-only cells drop
@@ -21,40 +21,42 @@ Reference semantics preserved:
     centroid and recomputes all surfels (VoxelMap.cpp:264-366) — here a
     sort-based bulk rebuild.
 
-Design (TPU, v4 — rebuilt from device traces of v3):
-  * Gathers of K random rows cost ~20 ns/row on v5e regardless of row
-    width (<=128 B), scatters ~6 ns/update/column, sorts of 16k keys are
-    ~10 us (free). The structure minimizes GATHER ROUNDS and keeps every
-    scatter's update count small via compaction.
-  * The hash index is one wide row per BUCKET of 8 cells:
-    (B, 32) i32 = [slot x8 | key_hi x8 | key_lo x8 | pad].  A lookup is
-    ONE row gather + 8 in-register compares (v3 probed 4 dependent
-    rounds). Keys live in the row, so hits need no verification gather.
-  * The index is EXACT: every slot records its cell (`cellpos`), and
-    eviction/deletion erases the cell immediately — no stale entries,
-    no dead-cell probing rules.  A key whose bucket is full is dropped
-    (bounded loss; <0.1% at the designed load factor of <=2 keys/bucket
-    average, counted in n_dropped).
-  * Free slots live on persistent STACKS (l0_free/l1_free + tops); v3
-    recomputed a free list by scanning the whole table per update
-    (~4 ms).  n_l0/n_l1 fall out of the stack tops.
-  * Insertion: one bucket gather resolves hits; new keys are deduped by
-    sort, ranked per bucket by sort, and claim DISTINCT empty cells in
-    one pass (cell = rank-th empty bit of the bucket mask); a second
-    compacted round resolves duplicates and spillover.
-  * The affected set for surfel recompute is parents of NEWLY CREATED
-    voxels + evicted parents ONLY (child-count-change semantics above;
-    v3 recomputed stats for parents of all 16k inserted points and paid
-    3 x 3 ms gathering 220k child rows).
-  * Child stats gather packed rows: l0_data (C0,4) f32 [count|sum xyz]
-    and l0_meta (C0,4) i32 [hi|lo|parent_pos|cellpos]; children verify
-    by parent backpointer (slot recycling can never leak points across
-    cells because a parent is only freed once no live child references
-    it).
-  * Two size tiers (lax.cond on the number of unresolved keys): the
-    steady-state branch compacts all allocation/affected lists to 4096,
-    the bulk branch (first keyframe of a sequence, teleports) uses full
-    16384/8192 caps.
+Design (TPU, v5 — profiled against v4 on v5e):
+  * THE key layout idea: an L0 voxel's address is fully determined by
+    its parent — row = parent_slot * 27 + child_offset of l0_data
+    (C1*27, 4) f32 [count | sum xyz]. One hash index (over L1 parents)
+    serves both levels; there is no L0 index, no L0 slot allocation, no
+    free-stack and no parent/child pointer bookkeeping (v4 spent ~1 ms
+    per update on the L0 claim rounds + l1_children maintenance).
+    Occupancy is implicit: count > 0. Invariant: a free parent slot's
+    27 rows are all-zero (eviction/deletion zero rows synchronously).
+  * Child stats for surfel recompute gather ONE CONTIGUOUS 432 B row
+    per cell — l0_data viewed as (C1, 108) — instead of 27 random
+    16 B rows per cell (v4 paid ~0.6 ms/update for those gathers;
+    random-row gathers on v5e are latency-bound at ~20 ns/row).
+  * The parent hash index is one wide row per BUCKET of 8 cells:
+    (B, 32) i32 = [slot x8 | key_hi x8 | key_lo x8 | pad]. A lookup is
+    ONE row gather + 8 in-register compares. The index is EXACT (each
+    slot records its cell; erase is synchronous). Keys that cannot be
+    placed (full bucket / no free slot) are dropped and counted.
+  * Eviction runs the exact per-child radius test as one divide-free
+    bandwidth-bound pass over the child table, any-reduces to parents,
+    compacts actually-evicting parents to EVICT_LIST, and zeroes their
+    evicted children (bounded by CH_CAP). Parents beyond the cap defer
+    to the next update (the mask is recomputed from live centroids
+    every update: delayed, never lost). A cheaper key-based parent
+    prefilter was tried and rejected: never-evicting margin-band
+    parents saturate the candidate list and stall real evictions.
+  * Every scatter whose targets are unique by construction carries
+    unique_indices=True — without it XLA lowers masked scatters to
+    sort-based combines (one full sort per column; the dominant cost
+    in the v5.0 device trace). The only sort-backed scatters left are
+    small: per-parent child-count increments at new_cap.
+  * All data-dependent set sizes (new children, affected parents,
+    recompute list, evictions, deletions) are compacted to fixed caps
+    by sort (a 16k sort is ~10 us on v5e); two size tiers (lax.cond on
+    the exact new-child count) keep the steady-state program small
+    while first keyframes / teleports take full-size caps.
 """
 from __future__ import annotations
 
@@ -69,20 +71,22 @@ from ..utils import keys as K
 from ..utils import eigh3
 
 __all__ = ["VoxelMapState", "empty_map", "update_map", "lookup_surfels",
-           "transform_and_rehash", "bulk_build", "l0_points",
-           "grid_knn_neighbors", "MIN_OCCUPIED_CHILDREN"]
+           "transform_and_rehash", "bulk_build", "l0_points", "l0_records",
+           "voxel_occupied", "grid_knn_neighbors", "MIN_OCCUPIED_CHILDREN"]
 
 MIN_OCCUPIED_CHILDREN = 5  # reference VoxelMap.cpp:188
 
 BUCKET = 8                  # cells per hash bucket (one row gather probes all)
 ROW = 32                    # i32 columns per index row: slot x8, hi x8, lo x8, pad
-EVICT_LIST = 4096           # per-update eviction list (excess defers; see Step 1)
+NCH = 27                    # children per parent (hierarchy_factor**3)
+EVICT_LIST = 2048           # eviction-candidate PARENTS per update (excess defers)
+CH_CAP = 8192               # child rows zeroed (evict) per update (excess defers)
 SMALL_CAP = 4096            # steady-state tier: new-key/affected/delete caps
 INVALID_I32 = -1            # bitcast of K.INVALID_HI / K.INVALID_LO
 
 
 def _n_buckets(capacity: int) -> int:
-    n = max(capacity // 4, 8)   # avg load <= 2 keys per 8-cell bucket at 50% slot use
+    n = max(capacity // 4, 8)   # avg load <= 2 keys per 8-cell bucket at 50% use
     p = 1
     while p < n:
         p *= 2
@@ -97,45 +101,39 @@ def _hash_bucket(hi: jax.Array, lo: jax.Array, mask: int):
 
 
 _CHILD_OFFS = np.stack(np.meshgrid(*([np.arange(3)] * 3), indexing="ij"),
-                       axis=-1).reshape(27, 3).astype(np.int32)
+                       axis=-1).reshape(NCH, 3).astype(np.int32)
 _NB_OFFS = _CHILD_OFFS - 1  # -1..1 cube for grid kNN
 
 
 class VoxelMapState(NamedTuple):
-    # L0 leaf slots
-    l0_meta: jax.Array    # (C0, 4) i32 [key_hi | key_lo | parent_pos | cellpos]
-    l0_data: jax.Array    # (C0, 4) f32 [count | sum_x | sum_y | sum_z]
-    l0_index: jax.Array   # (B0, ROW) i32 bucket rows
-    l0_free: jax.Array    # (C0,) i32 free-slot stack
-    l0_free_top: jax.Array  # () i32 — number of free slots
-    n_l0: jax.Array       # () i32 == C0 - l0_free_top
-    # L1 parent slots
+    # L0 children, parent-relative: row parent_slot*27 + child_offset
+    l0_data: jax.Array    # (C1*27, 4) f32 [count | sum_x | sum_y | sum_z]
+    # L1 parents
     l1_index: jax.Array   # (B1, ROW) i32 bucket rows
     l1_meta: jax.Array    # (C1, 4) i32 [key_hi | key_lo | child_count | cellpos]
     l1_last: jax.Array    # (C1,) i32 child count at last surfel compute
     l1_surfel: jax.Array  # (C1, 8) f32 [normal(3) | centroid(3) | planarity | has]
-    l1_children: jax.Array  # (C1, 27) i32 child slot ids (-1 empty)
-    l1_free: jax.Array    # (C1,) i32
+    l1_free: jax.Array    # (C1,) i32 free-slot stack
     l1_free_top: jax.Array  # () i32
-    n_l1: jax.Array       # () i32
-    n_dropped: jax.Array  # () i32 — keys lost to full buckets / caps (observability)
+    n_l0: jax.Array       # () i32 live child voxels (explicit counter)
+    n_l1: jax.Array       # () i32 == C1 - l1_free_top
+    n_dropped: jax.Array  # () i32 — keys lost to full buckets / caps
 
 
 def empty_map(c0: int, c1: int) -> VoxelMapState:
+    """c1 = parent-cell capacity (child capacity is c1*27). c0 is kept
+    for API compatibility (v4's independent L0 slot capacity); it only
+    bounds the merge stage of bulk_build."""
+    del c0
     return VoxelMapState(
-        l0_meta=jnp.full((c0, 4), INVALID_I32, jnp.int32),
-        l0_data=jnp.zeros((c0, 4), jnp.float32),
-        l0_index=jnp.full((_n_buckets(c0), ROW), -1, jnp.int32),
-        l0_free=jnp.arange(c0, dtype=jnp.int32),
-        l0_free_top=jnp.int32(c0),
-        n_l0=jnp.int32(0),
+        l0_data=jnp.zeros((c1 * NCH, 4), jnp.float32),
         l1_index=jnp.full((_n_buckets(c1), ROW), -1, jnp.int32),
         l1_meta=jnp.full((c1, 4), INVALID_I32, jnp.int32),
         l1_last=jnp.zeros((c1,), jnp.int32),
         l1_surfel=jnp.zeros((c1, 8), jnp.float32),
-        l1_children=jnp.full((c1, 27), -1, jnp.int32),
         l1_free=jnp.arange(c1, dtype=jnp.int32),
         l1_free_top=jnp.int32(c1),
+        n_l0=jnp.int32(0),
         n_l1=jnp.int32(0),
         n_dropped=jnp.int32(0),
     )
@@ -166,7 +164,7 @@ def _bucket_find(index, qhi, qlo):
 def _compact(mask: jax.Array, cap: int):
     """Indices of True positions, compacted to (cap,) (-1 padded).
     Sort-based: a 16k sort is ~10 us on v5e while an equivalent scatter
-    costs 0.1-1 ms. Requires cap <= len(mask)."""
+    costs 0.1-1 ms."""
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(mask, idx, jnp.int32(n))
@@ -177,18 +175,17 @@ def _compact(mask: jax.Array, cap: int):
     return jnp.where(out < n, out, -1), jnp.sum(mask.astype(jnp.int32))
 
 
-def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
+def _claim_round(index, meta, free, top, qhi, qlo, want,
                  col2_init: int = -1):
     """Allocate slots + index cells for wanted keys (all arrays (M,)).
     Keys are deduped (sort), ranked per bucket (sort), and claim the
     rank-th empty cell of their bucket. Wanted keys that already exist
-    resolve as hits (duplicates of a previous round's winner).
-    Returns (index, meta, top, slot (M,), claimed (M,), allocated (M,),
-    n_failed)."""
+    resolve as hits. Returns (index, meta, top, slot (M,), claimed (M,),
+    allocated (M,), n_failed)."""
     m = qhi.shape[0]
     c = meta.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
-    slot0, hit, b, empty = _bucket_find(index, qhi, qlo) if find is None else find
+    slot0, hit, b, empty = _bucket_find(index, qhi, qlo)
     resolved = hit & want
     slot = jnp.where(resolved, slot0, -1)
     cand = want & ~resolved
@@ -201,7 +198,8 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
                              ~((s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]))])
     s_cand = cand[s_idx]
     leader_s = first & s_cand
-    leader = jnp.zeros((m,), bool).at[s_idx].set(leader_s)
+    leader = jnp.zeros((m,), bool).at[s_idx].set(
+        leader_s, unique_indices=True)
 
     # --- rank leaders within their bucket: sort by (bucket, idx)
     bkey = jnp.where(leader, b, jnp.int32(index.shape[0]))
@@ -210,7 +208,8 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
     pos_in = jnp.arange(m, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(bfirst, pos_in, 0))
     brank_s = pos_in - start
-    brank = jnp.zeros((m,), jnp.int32).at[bidx].set(brank_s)
+    brank = jnp.zeros((m,), jnp.int32).at[bidx].set(
+        brank_s, unique_indices=True)
 
     # --- cell = brank-th empty cell of the bucket
     ecnt = jnp.cumsum(empty.astype(jnp.int32), axis=1)
@@ -225,27 +224,26 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
     new_slot = jnp.where(can, new_slot, -1)
     n_alloc = jnp.sum(can.astype(jnp.int32))
 
-    # --- writes (index cells are unique by construction). NOTE: keep
-    # these as per-column scatters — merging them into one flat scatter
-    # over concatenated indices measured ~50% SLOWER on v5e (XLA lowers
-    # fixed-column scatters with regular stride; fully general 1-D
-    # indices lose that structure).
+    # --- writes. Index cells / meta rows are unique by construction;
+    # unique_indices=True matters: without it XLA lowers every masked
+    # scatter to a sort-based combine (one full sort PER COLUMN — the
+    # dominant cost in the v5.0 trace).
     qh_i = jax.lax.bitcast_convert_type(qhi, jnp.int32)
     ql_i = jax.lax.bitcast_convert_type(qlo, jnp.int32)
     flat = index.reshape(-1)
     base = b * ROW + cell
     tgt = jnp.where(can, base, flat.shape[0])
-    flat = flat.at[tgt].set(new_slot, mode="drop")
+    flat = flat.at[tgt].set(new_slot, mode="drop", unique_indices=True)
     flat = flat.at[jnp.where(can, base + BUCKET, flat.shape[0])].set(
-        qh_i, mode="drop")
+        qh_i, mode="drop", unique_indices=True)
     flat = flat.at[jnp.where(can, base + 2 * BUCKET, flat.shape[0])].set(
-        ql_i, mode="drop")
+        ql_i, mode="drop", unique_indices=True)
     index = flat.reshape(index.shape)
     mt = jnp.where(can, new_slot, c)
-    meta = meta.at[mt, 0].set(qh_i, mode="drop")
-    meta = meta.at[mt, 1].set(ql_i, mode="drop")
-    meta = meta.at[mt, 2].set(col2_init, mode="drop")
-    meta = meta.at[mt, 3].set(b * BUCKET + cell, mode="drop")
+    mrow = jnp.stack([qh_i, ql_i,
+                      jnp.full_like(qh_i, col2_init), b * BUCKET + cell],
+                     axis=1)
+    meta = meta.at[mt].set(mrow, mode="drop", unique_indices=True)
 
     slot = jnp.where(can, new_slot, slot)
     claimed = resolved | can
@@ -253,32 +251,32 @@ def _claim_round(index, meta, free, top, qhi, qlo, want, find=None,
     return index, meta, top - n_alloc, slot, claimed, can, n_failed
 
 
-def _insert_keys(index, meta, free, top, qhi, qlo, want, cap2: int,
-                 find=None, col2_init: int = -1):
-    """Resolve-or-allocate slots for (N,) keys: one claim round on all
-    candidates (reusing a precomputed find when given), then a compacted
-    second round (cap2) for duplicates and spillover. Returns
-    (index, meta, top, slot (N,), allocated (N,), n_dropped)."""
+def _resolve_parents(index, meta, free, top, qhi, qlo, want, cap2: int,
+                     find0):
+    """Resolve-or-allocate PARENT slots for (N,) keys. Round 1 is
+    find-only (reuses the precomputed probe — in steady state nearly
+    every parent already exists, and a claim pass over all N keys pays
+    ~7 masked N-sized scatters for nothing). Unresolved keys compact to
+    cap2 for one claim round; duplicate losers re-find their winner on
+    the updated index. Returns (index, meta, top, slot (N,),
+    allocated_mask_over_cap2 (cap2,), alloc_slots (cap2,))."""
     n = qhi.shape[0]
-    index, meta, top, slot, resolved, allocated, _f1 = _claim_round(
-        index, meta, free, top, qhi, qlo, want, find=find,
-        col2_init=col2_init)
+    slot0, hit, _, _ = find0
+    slot = jnp.where(hit & want, slot0, -1)
 
-    # round 2 (compacted): duplicate losers re-find their winner's slot;
-    # bucket-spillover leaders claim the next empty cells
-    rem_idx, n_rem = _compact(want & ~resolved, cap2)
+    rem_idx, _ = _compact(want & ~hit, cap2)
     rem_ok = rem_idx >= 0
     ri = jnp.clip(rem_idx, 0, n - 1)
     r_hi = jnp.where(rem_ok, qhi[ri], K.INVALID_HI)
     r_lo = jnp.where(rem_ok, qlo[ri], K.INVALID_LO)
-    index, meta, top, slot2, claimed2, alloc2, f2 = _claim_round(
-        index, meta, free, top, r_hi, r_lo, rem_ok, col2_init=col2_init)
-    wr = jnp.where(rem_ok & claimed2, ri, n)
-    slot = slot.at[wr].set(slot2, mode="drop")
-    allocated = allocated.at[jnp.where(rem_ok & alloc2, ri, n)].set(
-        True, mode="drop")
-    n_drop = f2 + jnp.maximum(n_rem - cap2, 0)
-    return index, meta, top, slot, allocated, n_drop
+    index, meta, top, slot2, claimed2, alloc2, _f = _claim_round(
+        index, meta, free, top, r_hi, r_lo, rem_ok, col2_init=0)
+    # duplicate losers find their group's winner on the updated index
+    slot3, hit3, _, _ = _bucket_find(index, r_hi, r_lo)
+    slot2 = jnp.where(claimed2, slot2, jnp.where(hit3, slot3, -1))
+    wr = jnp.where(rem_ok & (slot2 >= 0), ri, n)
+    slot = slot.at[wr].set(slot2, mode="drop", unique_indices=True)
+    return index, meta, top, slot, alloc2, jnp.where(alloc2, slot2, -1)
 
 
 def _child_offset_of(coords: jax.Array) -> jax.Array:
@@ -291,48 +289,34 @@ def _erase_cells(index, cellpos, ok):
     """Erase the slot column of the given cells (index stays exact)."""
     flat = index.reshape(-1)
     tgt = jnp.where(ok, (cellpos >> 3) * ROW + (cellpos & 7), flat.shape[0])
-    return flat.at[tgt].set(-1, mode="drop").reshape(index.shape)
+    return flat.at[tgt].set(-1, mode="drop",
+                            unique_indices=True).reshape(index.shape)
 
 
-def _free_l0(meta, data, free, top, slots, ok):
-    """Invalidate + zero + push freed L0 slots (index erased separately)."""
-    c = meta.shape[0]
-    t = jnp.where(ok, slots, c)
-    meta = meta.at[t, 0].set(INVALID_I32, mode="drop")
-    meta = meta.at[t, 1].set(INVALID_I32, mode="drop")
-    for w in range(4):
-        data = data.at[t, w].set(0.0, mode="drop")
-    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    free = free.at[jnp.where(ok, top + rank, free.shape[0])].set(
-        slots, mode="drop")
-    return meta, data, free, top + jnp.sum(ok.astype(jnp.int32))
+def _zero_child_rows(l0_data, addrs, ok):
+    """Zero the given child rows (one unique whole-row scatter)."""
+    t = jnp.where(ok, addrs, l0_data.shape[0])
+    z = jnp.zeros((addrs.shape[0], 4), l0_data.dtype)
+    return l0_data.at[t].set(z, mode="drop", unique_indices=True)
 
 
 # ---------------------------------------------------------------------------
 # surfel math
 # ---------------------------------------------------------------------------
 
-def _child_stats(l0_data, l1_children, aff_slot, aff_ok):
-    """(A,) affected L1 slots -> per-cell child stats over live children
-    (reference VoxelMap.cpp:207-236). No verification gather is needed:
-    the index is exact and child-list entries are removed synchronously
-    whenever a slot is freed (eviction + non-planar deletion), so a live
-    entry always references its own voxel. count > 0 is kept as a cheap
-    belt-and-suspenders mask."""
-    c0 = l0_data.shape[0]
-    c1 = l1_children.shape[0]
-    kids = l1_children[jnp.clip(aff_slot, 0, c1 - 1)]        # (A, 27)
-    kids = jnp.where(aff_ok[:, None], kids, -1)
-    kc = jnp.clip(kids, 0, c0 - 1)
-    kdata = l0_data[kc]                                      # (A, 27, 4)
-    ok = (kids >= 0) & (kdata[..., 0] > 0.0)
+def _block_stats(blk):
+    """(A, 27, 4) child blocks -> (count, mean, cov, kids_ok) per cell
+    (reference VoxelMap.cpp:207-236). A live child is count > 0; rows of
+    free/absent children are all-zero by the store invariant."""
+    ok = blk[..., 0] > 0.0
     cnt = jnp.sum(ok.astype(jnp.int32), axis=1)
-    cen = kdata[..., 1:4] / jnp.maximum(kdata[..., 0:1], 1.0)
+    cen = blk[..., 1:4] / jnp.maximum(blk[..., 0:1], 1.0)
     w = ok.astype(jnp.float32)[..., None]
-    mean = jnp.sum(cen * w, axis=1) / jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+    denom = jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+    mean = jnp.sum(cen * w, axis=1) / denom
     d = (cen - mean[:, None, :]) * w
-    cov = jnp.einsum("aky,akz->ayz", d, d) / jnp.maximum(cnt, 1)[:, None, None].astype(jnp.float32)
-    return cnt, mean, cov, kids, ok
+    cov = jnp.einsum("aky,akz->ayz", d, d) / denom[..., None]
+    return cnt, mean, cov, ok
 
 
 # ---------------------------------------------------------------------------
@@ -346,119 +330,146 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                compute_surfels: bool = True) -> VoxelMapState:
     """Per-keyframe map update (reference VoxelMap::UpdateVoxelMap,
     VoxelMap.cpp:128-262) as a sort+gather/scatter program."""
-    c0 = state.l0_meta.shape[0]
     c1 = state.l1_meta.shape[0]
+    nrows = c1 * NCH
     p = new_pts.shape[0]
     f32 = jnp.float32
 
-    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158), UNCONDITIONAL
-    # masked writes at a small list cap (a lax.cond identity branch
-    # copies every carried table when the update is not donated —
-    # ~0.9 ms/update measured on v5e; with a donated carry the two
-    # designs measure even, and this one is branch-free and compiles
-    # smaller). Evictions beyond the cap defer to the next update — the
-    # radius mask is recomputed from live centroids every update, so
-    # nothing is lost, only delayed. ----
-    cnt0 = state.l0_data[:, 0]
-    valid0 = cnt0 > 0.0
-    centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt0, 1.0)[:, None]
-    dist_sq = jnp.sum((centroid - sensor_pos[None, :]) ** 2, axis=-1)
-    evict = valid0 & (dist_sq > max_distance * max_distance)
+    l0_data = state.l0_data
+    l1_index, l1_meta = state.l1_index, state.l1_meta
+    l1_free, l1_top = state.l1_free, state.l1_free_top
+    n_l0 = state.n_l0
 
-    ev_list, _ = _compact(evict, EVICT_LIST)
+    # ---- Step 1: radius eviction (VoxelMap.cpp:146-158). The exact
+    # per-child test runs over the full child table (one bandwidth-bound
+    # elementwise pass + a (C1, 27) any-reduce — ~0.1 ms at bench
+    # capacity); parents with at least one evicting child compact to
+    # EVICT_LIST and their child blocks are gathered for the bounded
+    # masked zeroing. Parents beyond the cap defer to the next update
+    # (the mask is recomputed from live centroids: delayed, never
+    # lost). A cheaper key-based parent prefilter was tried and
+    # rejected: never-evicting margin-band parents saturate the
+    # candidate list and stall real evictions behind them. ----
+    cnt_all = l0_data[:, 0]
+    # no divide: |sum/cnt - s|^2 > d^2  <=>  |sum - cnt*s|^2 > d^2*cnt^2
+    rvec = l0_data[:, 1:4] - cnt_all[:, None] * sensor_pos[None, :]
+    d2cnt = jnp.sum(rvec * rvec, axis=-1)
+    maxd2 = max_distance * max_distance
+    ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
+    cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
+
+    ev_list, _ = _compact(cand_evict, EVICT_LIST)
     ev_ok = ev_list >= 0
-    ev = jnp.clip(ev_list, 0, c0 - 1)
-    emeta = state.l0_meta[ev]
-    l0_index = _erase_cells(state.l0_index, emeta[:, 3], ev_ok)
-    ecoords = K.unpack_key(
-        jax.lax.bitcast_convert_type(emeta[:, 0], jnp.uint32),
-        jax.lax.bitcast_convert_type(emeta[:, 1], jnp.uint32))
-    eoff = _child_offset_of(ecoords)
-    par = emeta[:, 2]
-    has_par = ev_ok & (par >= 0)
-    ptgt = jnp.where(has_par, par, c1)
-    l1_children = state.l1_children.at[
-        ptgt, jnp.where(has_par, eoff, 0)].set(-1, mode="drop")
-    # incremental child counter (UnregisterFromParent, VoxelMap.cpp:82-97)
-    l1_meta0 = state.l1_meta.at[ptgt, 2].add(
-        jnp.where(has_par, -1, 0), mode="drop")
-    l0_meta, l0_data, l0_free, l0_top = _free_l0(
-        state.l0_meta, state.l0_data, state.l0_free, state.l0_free_top,
-        ev, ev_ok)
-    evpar = jnp.where(has_par, par, -1)
+    evp = jnp.clip(ev_list, 0, c1 - 1)
+    ev_rows = (evp[:, None] * NCH
+               + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
+    blk = l0_data[ev_rows].reshape(EVICT_LIST, NCH, 4)      # (E, 27, 4)
+    bcnt = blk[..., 0]
+    brv = blk[..., 1:4] - bcnt[..., None] * sensor_pos[None, None, :]
+    bd2c = jnp.sum(brv * brv, axis=-1)
+    bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
+
+    # zero evicted child rows via a compacted address list (bounded by
+    # CH_CAP; the per-parent decrement matches exactly what was zeroed,
+    # so deferred children evict next update)
+    bev_flat = bev.reshape(-1)
+    kept_flat = bev_flat & (jnp.cumsum(bev_flat.astype(jnp.int32)) <= CH_CAP)
+    kept = kept_flat.reshape(EVICT_LIST, NCH)
+    ch_idx, _ = _compact(kept_flat, CH_CAP)
+    ch_ok = ch_idx >= 0
+    ch_addr = ev_rows[jnp.clip(ch_idx, 0, EVICT_LIST * NCH - 1)]
+    l0_data = _zero_child_rows(l0_data, ch_addr, ch_ok)
+    n_per_par = jnp.sum(kept.astype(jnp.int32), axis=1)
+    l1_meta = l1_meta.at[jnp.where(ev_ok, evp, c1), 2].add(
+        -n_per_par, mode="drop", unique_indices=True)
+    n_l0 = n_l0 - jnp.sum(kept_flat.astype(jnp.int32))
+    evpar = jnp.where(ev_ok & (n_per_par > 0), evp, -1)
 
     # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size
     pcoords = K.voxel_coords(new_pts, inv)
-    phi, plo = K.pack_key(pcoords)
+    par_c = jnp.floor_divide(pcoords, hierarchy_factor)
+    ch_off = _child_offset_of(pcoords)
+    phi, plo = K.pack_key(par_c)
     phi = jnp.where(new_mask, phi, K.INVALID_HI)
     plo = jnp.where(new_mask, plo, K.INVALID_LO)
+    khi, klo = K.pack_key(pcoords)
+    khi = jnp.where(new_mask, khi, K.INVALID_HI)
+    klo = jnp.where(new_mask, klo, K.INVALID_LO)
 
-    # shared round-1 find sizes the tier (reused inside the branch)
-    find0 = _bucket_find(l0_index, phi, plo)
-    n_unres = jnp.sum((new_mask & ~(find0[1] & new_mask)).astype(jnp.int32))
+    find0 = _bucket_find(l1_index, phi, plo)
+
+    # one-per-voxel leaders (dedupe by L0 key; slot-independent)
+    idx = jnp.arange(p, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = jax.lax.sort((khi, klo, idx), num_keys=2)
+    firstk = jnp.concatenate([jnp.ones((1,), bool),
+                              ~((s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]))])
+    valid_s = new_mask[s_idx]
+    firstv = firstk & valid_s
+    leader = jnp.zeros((p,), bool).at[s_idx].set(
+        firstv, unique_indices=True)
+
+    # per-voxel [count | sum xyz] totals at sorted leader positions
+    # (prefix-sum differences over the key-sorted order) — the whole
+    # accumulation then lands as ONE unique row scatter-add instead of
+    # four sort-backed column scatter-adds over all P points
+    pts_s = jnp.where(valid_s[:, None], new_pts[s_idx], 0.0)
+    data4 = jnp.concatenate([valid_s.astype(f32)[:, None], pts_s], axis=1)
+    gix = jnp.cumsum(firstk.astype(jnp.int32)) - 1    # monotonic group ids
+    seg4 = jax.ops.segment_sum(data4, gix, num_segments=p,
+                               indices_are_sorted=True)
+    tot4 = seg4[gix]                  # group totals; valid at leaders
+
+    # pre-insert occupancy: for points whose parent exists, gather the
+    # child row count (post-eviction); fresh parents have all-zero rows
+    # by the store invariant, so their children are new by definition.
+    slot0, hit0 = find0[0], find0[1]
+    addr0 = jnp.clip(slot0, 0, c1 - 1) * NCH + ch_off
+    pre_cnt = jnp.where(hit0 & new_mask, l0_data[addr0, 0], 0.0)
+    is_new_voxel = leader & (pre_cnt == 0.0)
+    n_new = jnp.sum(is_new_voxel.astype(jnp.int32))
 
     def tier(new_cap: int, aff_cap: int, r_cap: int):
         def run(args):
-            (l0_index, l0_meta, l0_data, l0_free, l0_top,
-             l1_index, l1_meta, l1_last, l1_surfel, l1_children,
-             l1_free, l1_top, n_dropped) = args
+            (l0_data, l1_index, l1_meta, l1_last, l1_surfel,
+             l1_free, l1_top, n_l0, n_dropped) = args
 
-            # ---- Step 3: L0 resolve-or-alloc (AddPoint, VoxelMap.cpp:99-120)
-            l0_index, l0_meta, l0_top, slot, l0_new, nd0 = _insert_keys(
-                l0_index, l0_meta, l0_free, l0_top, phi, plo, new_mask,
-                cap2=new_cap, find=find0)
-            n_dropped = n_dropped + nd0
+            # ---- Step 3: resolve-or-alloc parent slots for all points
+            # (AddPoint + RegisterToParent, VoxelMap.cpp:77-120) ----
+            l1_index, l1_meta, l1_top, pslot, l1_new_c, _ = _resolve_parents(
+                l1_index, l1_meta, l1_free, l1_top, phi, plo, new_mask,
+                cap2=new_cap, find0=find0)
+            placed = new_mask & (pslot >= 0)
 
-            # ---- Step 4: accumulate points into their voxels ----
-            placed = slot >= 0
-            t = jnp.where(placed, slot, c0)
-            pl = placed.astype(f32)
-            l0_data_ = l0_data.at[t, 0].add(pl, mode="drop")
-            for w in range(3):
-                l0_data_ = l0_data_.at[t, w + 1].add(
-                    jnp.where(placed, new_pts[:, w], 0.0), mode="drop")
-            l0_data = l0_data_
+            # ---- Step 4: accumulate — ONE unique row scatter-add of the
+            # per-voxel totals at leader addresses ----
+            placed_s = placed[s_idx]
+            pslot_s = pslot[s_idx]
+            off_s = ch_off[s_idx]
+            lead_ok = firstk & placed_s
+            tgt = jnp.where(lead_ok, pslot_s * NCH + off_s, nrows)
+            l0_data = l0_data.at[tgt].add(tot4, mode="drop",
+                                          unique_indices=True)
 
-            # ---- Step 5: parents of NEW voxels (RegisterToParent,
-            # VoxelMap.cpp:77-80) — compacted to the tier cap ----
-            new_idx, n_new = _compact(l0_new, new_cap)
-            n_dropped = n_dropped + jnp.maximum(n_new - new_cap, 0)
-            new_ok = new_idx >= 0
-            ni = jnp.clip(new_idx, 0, p - 1)
-            ncoords = pcoords[ni]
-            npar = K.parent_coords(ncoords, hierarchy_factor)
-            nphi, nplo = K.pack_key(npar)
-            nphi = jnp.where(new_ok, nphi, K.INVALID_HI)
-            nplo = jnp.where(new_ok, nplo, K.INVALID_LO)
-            l1_index, l1_meta, l1_top, par_slot, l1_new, nd1 = _insert_keys(
-                l1_index, l1_meta, l1_free, l1_top, nphi, nplo, new_ok,
-                cap2=new_cap, col2_init=0)
-            n_dropped = n_dropped + nd1
-            # fresh L1 cells must not inherit a previous occupant's children
-            l1_children = l1_children.at[
-                jnp.where(l1_new, par_slot, c1)].set(-1, mode="drop")
-
-            reg = new_ok & (par_slot >= 0)
-            new_slot = jnp.where(new_ok, slot[ni], -1)
-            ch_off = _child_offset_of(ncoords)
-            rtgt = jnp.where(reg, par_slot, c1)
-            l1_children = l1_children.at[
-                rtgt, jnp.where(reg, ch_off, 0)].set(
-                jnp.where(reg, new_slot, -1), mode="drop")
-            # incremental child counter (each new voxel registers exactly
-            # once; eviction/deletion decrement) — replaces the per-update
-            # 27-child count gather
-            l1_meta = l1_meta.at[rtgt, 2].add(
-                jnp.where(reg, 1, 0), mode="drop")
-            l0_meta = l0_meta.at[
-                jnp.where(reg, jnp.clip(new_slot, 0, c0 - 1), c0), 2].set(
-                par_slot, mode="drop")
+            # ---- Step 5: new children (count increments land after the
+            # compaction below — duplicates per parent make them the one
+            # legitimately sort-backed scatter, at new_cap size) ----
+            new_child = is_new_voxel & placed
+            n_l0 = n_l0 + jnp.sum(new_child.astype(jnp.int32))
+            n_dropped = n_dropped + jnp.sum(
+                (is_new_voxel & ~placed).astype(jnp.int32))
 
             # ---- Step 6: affected set = new-child parents + evicted
-            # parents, deduped by sort ----
-            cand_slot = jnp.concatenate([jnp.where(reg, par_slot, c1),
-                                         jnp.where(evpar >= 0, evpar, c1)])
+            # parents, deduped by sort (VoxelMap.cpp:161-185) ----
+            new_idx, n_newc = _compact(new_child, new_cap)
+            n_dropped = n_dropped + jnp.maximum(n_newc - new_cap, 0)
+            new_ok = new_idx >= 0
+            ni = jnp.clip(new_idx, 0, p - 1)
+            l1_meta = l1_meta.at[
+                jnp.where(new_ok, pslot[ni], c1), 2].add(1, mode="drop")
+            cand_slot = jnp.concatenate(
+                [jnp.where(new_ok, pslot[ni], c1),
+                 jnp.where(evpar >= 0, evpar, c1)])
             cand_new = jnp.concatenate([jnp.ones((new_cap,), bool),
                                         jnp.zeros((EVICT_LIST,), bool)])
             m2 = cand_slot.shape[0]
@@ -476,7 +487,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             aff_new = jnp.where(aff_ok, (s2[lp] & 1) == 0, False)
 
             # ---- Step 7: surfel decisions from the INCREMENTAL child
-            # counter; child stats gathered ONLY for recomputing cells
+            # counter; child blocks gathered ONLY for recomputing cells
             # (VoxelMap.cpp:187-261, count-change skip at :203) ----
             aff_c = jnp.clip(aff_slot, 0, c1 - 1)
             cnt = jnp.where(aff_ok, l1_meta[aff_c, 2], 0)
@@ -493,24 +504,28 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 r_ok = r_pos >= 0
                 rp = jnp.clip(r_pos, 0, aff_cap - 1)
                 r_slot = jnp.where(r_ok, aff_slot[rp], -1)
-                _rcnt, mean, cov, kids, kids_ok = _child_stats(
-                    l0_data, l1_children, r_slot, r_ok)
+                r_rows = (jnp.clip(r_slot, 0, c1 - 1)[:, None] * NCH
+                          + jnp.arange(NCH, dtype=jnp.int32)[None, :])
+                rblk = l0_data[r_rows.reshape(-1)].reshape(r_cap, NCH, 4)
+                rblk = jnp.where(r_ok[:, None, None], rblk, 0.0)
+                _rcnt, mean, cov, kids_ok = _block_stats(rblk)
                 lam, normal = eigh3.eigh3(cov)
                 plan = lam[:, 0] / (lam[:, 2] + 1e-6)
                 r_non_planar = r_ok & (plan > planarity_threshold)
                 # bound deletions so every freed child is fully processed
                 npr = jnp.cumsum(r_non_planar.astype(jnp.int32)) - 1
-                r_defer = r_non_planar & (npr >= (27 * r_cap) // 27 // 8)
+                r_defer = r_non_planar & (npr >= (NCH * r_cap) // NCH // 8)
                 r_non_planar = r_non_planar & ~r_defer
                 r_use = r_ok & ~r_non_planar & ~r_defer
 
                 # map R verdicts back onto the affected list
                 non_planar = jnp.zeros((aff_cap,), bool).at[
                     jnp.where(r_ok, rp, aff_cap)].set(
-                    r_non_planar, mode="drop") & recompute
+                    r_non_planar, mode="drop",
+                    unique_indices=True) & recompute
                 use_new = jnp.zeros((aff_cap,), bool).at[
                     jnp.where(r_ok, rp, aff_cap)].set(
-                    r_use, mode="drop") & recompute
+                    r_use, mode="drop", unique_indices=True) & recompute
                 has_out = jnp.where(aff_new,
                                     jnp.where(enough, skip | use_new, False),
                                     prev_has & enough)
@@ -518,35 +533,36 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 cnt_post = jnp.where(non_planar, 0, cnt)
                 freed = aff_ok & (cnt_post == 0)
 
-                # ---- non-planar deletion (VoxelMap.cpp:244-253) + freeing
-                # of emptied L1 cells, UNCONDITIONAL masked writes (the
-                # lax.cond identity branch copies every carried table when
-                # not donated, ~1.35 ms/update on v5e; see Step 1 note) ----
+                # ---- non-planar deletion (VoxelMap.cpp:244-253):
+                # zero all live children of deleted cells (bounded,
+                # unconditional masked writes) ----
                 delk = kids_ok & r_non_planar[:, None]
-                dk_list, _ = _compact(delk.reshape(-1), 27 * (r_cap // 8))
+                dk_list, _ = _compact(delk.reshape(-1), NCH * (r_cap // 8))
                 dk_ok = dk_list >= 0
-                dkc = jnp.clip(dk_list, 0, kids.size - 1)
-                dslot = jnp.where(dk_ok, kids.reshape(-1)[dkc], c0)
-                ds_c = jnp.clip(dslot, 0, c0 - 1)
-                dcell = l0_meta[ds_c, 3]
-                l0_index = _erase_cells(l0_index, dcell,
-                                        dk_ok & (dslot < c0))
-                l0_meta, l0_data, l0_free, l0_top = _free_l0(
-                    l0_meta, l0_data, l0_free, l0_top,
-                    ds_c, dk_ok & (dslot < c0))
+                dki = jnp.clip(dk_list, 0, r_cap * NCH - 1)
+                dk_par = jnp.where(dk_ok, r_slot[dki // NCH], c1)
+                dk_addr = jnp.clip(dk_par, 0, c1 - 1) * NCH + (dki % NCH)
+                l0_data = _zero_child_rows(
+                    l0_data, dk_addr, dk_ok & (dk_par < c1))
+                n_l0 = n_l0 - jnp.sum(
+                    (dk_ok & (dk_par < c1)).astype(jnp.int32))
                 dtgt = jnp.where(r_non_planar, r_slot, c1)
-                l1_children = l1_children.at[dtgt].set(-1, mode="drop")
-                l1_meta = l1_meta.at[dtgt, 2].set(0, mode="drop")
+                l1_meta = l1_meta.at[dtgt, 2].set(0, mode="drop",
+                                                  unique_indices=True)
 
+                # free emptied L1 cells (deletion or eviction)
                 fslot = jnp.where(freed, aff_slot, c1)
                 fc = jnp.clip(fslot, 0, c1 - 1)
                 l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
-                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
-                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                l1_meta = l1_meta.at[fslot, 0].set(
+                    INVALID_I32, mode="drop", unique_indices=True)
+                l1_meta = l1_meta.at[fslot, 1].set(
+                    INVALID_I32, mode="drop", unique_indices=True)
                 frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
                 l1_free = l1_free.at[
                     jnp.where(freed, l1_top + frank, c1)].set(
-                    jnp.where(freed, aff_slot, -1), mode="drop")
+                    jnp.where(freed, aff_slot, -1), mode="drop",
+                    unique_indices=True)
                 l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
                 cnt = cnt_post
                 has_out = has_out & ~non_planar
@@ -559,44 +575,51 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 use_new = jnp.zeros((aff_cap,), bool)
                 has_out = jnp.zeros((aff_cap,), bool)
 
-                # still free cells emptied by eviction (unconditional
-                # masked writes; see the delete/free note above)
+                # still free cells emptied by eviction
                 freed = aff_ok & (cnt == 0)
                 fslot = jnp.where(freed, aff_slot, c1)
                 fc = jnp.clip(fslot, 0, c1 - 1)
                 l1_index = _erase_cells(l1_index, l1_meta[fc, 3], freed)
-                l1_meta = l1_meta.at[fslot, 0].set(INVALID_I32, mode="drop")
-                l1_meta = l1_meta.at[fslot, 1].set(INVALID_I32, mode="drop")
+                l1_meta = l1_meta.at[fslot, 0].set(
+                    INVALID_I32, mode="drop", unique_indices=True)
+                l1_meta = l1_meta.at[fslot, 1].set(
+                    INVALID_I32, mode="drop", unique_indices=True)
                 frank = jnp.cumsum(freed.astype(jnp.int32)) - 1
                 l1_free = l1_free.at[
                     jnp.where(freed, l1_top + frank, c1)].set(
-                    jnp.where(freed, aff_slot, -1), mode="drop")
+                    jnp.where(freed, aff_slot, -1), mode="drop",
+                    unique_indices=True)
                 l1_top = l1_top + jnp.sum(freed.astype(jnp.int32))
 
             # ---- write back: new surfel payloads at recomputing cells,
             # has flags over the whole affected list ----
+            # FULL 8-wide rows: a partial-row (1,7) scatter lowers to a
+            # serial while loop (one dynamic-update-slice per row, ~4 us
+            # each — it WAS the entire update budget); full-row and
+            # single-column scatters both vectorize. r_use cells all have
+            # has=1 (use_new implies has_out), and the column-7 pass
+            # afterwards rewrites the same value consistently.
             wr = jnp.where(r_use, jnp.clip(r_slot, 0, c1 - 1), c1)
-            srows = jnp.concatenate([normal, mean, plan[:, None]], axis=-1)
-            for w in range(7):
-                l1_surfel = l1_surfel.at[wr, w].set(srows[:, w], mode="drop")
+            srows = jnp.concatenate(
+                [normal, mean, plan[:, None],
+                 jnp.ones((normal.shape[0], 1), f32)], axis=-1)
+            l1_surfel = l1_surfel.at[wr].set(
+                srows, mode="drop", unique_indices=True)
             wslot = jnp.where(aff_ok, aff_slot, c1)
             l1_surfel = l1_surfel.at[wslot, 7].set(
-                has_out.astype(f32), mode="drop")
+                has_out.astype(f32), mode="drop", unique_indices=True)
             l1_last = l1_last.at[jnp.where(use_new, wslot, c1)].set(
-                cnt, mode="drop")
+                cnt, mode="drop", unique_indices=True)
 
-            return (l0_index, l0_meta, l0_data, l0_free, l0_top,
-                    l1_index, l1_meta, l1_last, l1_surfel, l1_children,
-                    l1_free, l1_top, n_dropped)
+            return (l0_data, l1_index, l1_meta, l1_last, l1_surfel,
+                    l1_free, l1_top, n_l0, n_dropped)
         return run
 
-    args = (l0_index, l0_meta, l0_data, l0_free, l0_top,
-            state.l1_index, l1_meta0, state.l1_last, state.l1_surfel,
-            l1_children, state.l1_free, state.l1_free_top, state.n_dropped)
-    (l0_index, l0_meta, l0_data, l0_free, l0_top,
-     l1_index, l1_meta, l1_last, l1_surfel, l1_children, l1_free, l1_top,
-     n_dropped) = jax.lax.cond(
-        n_unres <= min(SMALL_CAP, p),
+    args = (l0_data, l1_index, l1_meta, state.l1_last, state.l1_surfel,
+            l1_free, l1_top, n_l0, state.n_dropped)
+    (l0_data, l1_index, l1_meta, l1_last, l1_surfel, l1_free, l1_top,
+     n_l0, n_dropped) = jax.lax.cond(
+        n_new <= min(SMALL_CAP, p),
         # caps never exceed what the input size can produce: at most p new
         # voxels, at most p + EVICT_LIST affected parents — so small scans
         # (e.g. O(scan/S) per-shard buffers in the sharded map) get
@@ -608,11 +631,10 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         args)
 
     return VoxelMapState(
-        l0_meta=l0_meta, l0_data=l0_data, l0_index=l0_index,
-        l0_free=l0_free, l0_free_top=l0_top, n_l0=jnp.int32(c0) - l0_top,
-        l1_index=l1_index, l1_meta=l1_meta, l1_last=l1_last,
-        l1_surfel=l1_surfel, l1_children=l1_children, l1_free=l1_free,
-        l1_free_top=l1_top, n_l1=jnp.int32(c1) - l1_top, n_dropped=n_dropped)
+        l0_data=l0_data, l1_index=l1_index, l1_meta=l1_meta,
+        l1_last=l1_last, l1_surfel=l1_surfel, l1_free=l1_free,
+        l1_free_top=l1_top, n_l0=n_l0, n_l1=jnp.int32(c1) - l1_top,
+        n_dropped=n_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -635,22 +657,26 @@ def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
     return row[:, 0:3], row[:, 3:6], valid
 
 
-@jax.jit
-def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size):
+@partial(jax.jit, static_argnames=("hierarchy_factor",))
+def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size,
+                       hierarchy_factor: int = 3):
     """L0 centroids of each query's 3x3x3 voxel neighborhood (KD-tree-mode
     candidates, replacing nanoflann 5-NN,
-    IterativeClosestPointOptimizer.cpp:696-703).
-    Returns (neighbors (N, 27, 3), valid (N, 27))."""
+    IterativeClosestPointOptimizer.cpp:696-703). Each neighbor voxel
+    resolves through the PARENT index: one bucket gather + one child-row
+    gather. Returns (neighbors (N, 27, 3), valid (N, 27))."""
     inv = 1.0 / voxel_size
     qc = K.voxel_coords(pts, inv)
     nb = qc[:, None, :] + jnp.asarray(_NB_OFFS)[None, :, :]
-    nhi, nlo = K.pack_key(nb)
+    par = jnp.floor_divide(nb, hierarchy_factor)
+    off = _child_offset_of(nb)
+    nhi, nlo = K.pack_key(par)
     n, m = nhi.shape
-    slot, hit, _, _ = _bucket_find(state.l0_index, nhi.reshape(-1),
+    slot, hit, _, _ = _bucket_find(state.l1_index, nhi.reshape(-1),
                                    nlo.reshape(-1))
-    c0 = state.l0_meta.shape[0]
-    sc = jnp.clip(slot, 0, c0 - 1)
-    data = state.l0_data[sc]
+    c1 = state.l1_meta.shape[0]
+    addr = jnp.clip(slot, 0, c1 - 1) * NCH + off.reshape(-1)
+    data = state.l0_data[addr]
     ok = hit.reshape(n, m) & (data[:, 0].reshape(n, m) > 0.0)
     cen = (data[:, 1:4] / jnp.maximum(data[:, 0:1], 1.0)).reshape(n, m, 3)
     return cen, ok
@@ -662,6 +688,38 @@ def l0_points(state: VoxelMapState):
     valid = state.l0_data[:, 0] > 0.0
     centroid = state.l0_data[:, 1:4] / jnp.maximum(state.l0_data[:, 0], 1.0)[:, None]
     return centroid, valid
+
+
+def l0_records(state: VoxelMapState):
+    """All live L0 voxels as records: (key_hi, key_lo, count, centroid,
+    live), each (C1*27,)-shaped. Child voxel coords are derived from the
+    parent key + child offset (the v5 store keeps no per-child keys)."""
+    c1 = state.l1_meta.shape[0]
+    pc = K.unpack_key(
+        jax.lax.bitcast_convert_type(state.l1_meta[:, 0], jnp.uint32),
+        jax.lax.bitcast_convert_type(state.l1_meta[:, 1], jnp.uint32))
+    coords = (pc[:, None, :] * 3 + jnp.asarray(_CHILD_OFFS)[None, :, :])
+    hi, lo = K.pack_key(coords.reshape(-1, 3))
+    cnt = state.l0_data[:, 0]
+    live = (cnt > 0.0) & jnp.repeat(
+        state.l1_meta[:, 0] != INVALID_I32, NCH)
+    centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
+    return hi, lo, cnt, centroid, live
+
+
+@partial(jax.jit, static_argnames=("hierarchy_factor",))
+def voxel_occupied(state: VoxelMapState, pts: jax.Array, *, voxel_size,
+                   hierarchy_factor: int = 3):
+    """Whether each point's L0 voxel is live (test/diagnostic helper)."""
+    inv = 1.0 / voxel_size
+    coords = K.voxel_coords(pts, inv)
+    par = jnp.floor_divide(coords, hierarchy_factor)
+    off = _child_offset_of(coords)
+    phi, plo = K.pack_key(par)
+    slot, hit, _, _ = _bucket_find(state.l1_index, phi, plo)
+    c1 = state.l1_meta.shape[0]
+    addr = jnp.clip(slot, 0, c1 - 1) * NCH + off
+    return hit & (state.l0_data[addr, 0] > 0.0)
 
 
 def l1_surfels(state: VoxelMapState):
@@ -682,7 +740,7 @@ def _bulk_index(keys_hi, keys_lo, live, n_buckets: int, slot_from_top: int):
     """Assign slots + bucket cells for a set of DISTINCT live keys
     (sort-based bulk build). Slots count down from slot_from_top-1 so the
     free stack stays the identity prefix. Returns (slot (N,), cellpos (N,),
-    placed (N,), index rows scattered by the caller)."""
+    placed (N,))."""
     n = keys_hi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     b = _hash_bucket(keys_hi, keys_lo, n_buckets - 1)
@@ -710,14 +768,13 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     collisions by weighted centroid, recompute ALL surfels (reference
     ApplyTransformAndRehash + RecomputeAllSurfels, VoxelMap.cpp:264-366).
     Rare op: sort-based bulk rebuild into a fresh map."""
-    c0 = state.l0_meta.shape[0]
     c1 = state.l1_meta.shape[0]
     cnt = state.l0_data[:, 0]
     live = cnt > 0.0
     centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
     R, t = T[:3, :3], T[:3, 3]
     new_centroid = centroid @ R.T + t[None, :]
-    return bulk_build(new_centroid, cnt, live, c0, c1,
+    return bulk_build(new_centroid, cnt, live, c1 * NCH, c1,
                       voxel_size=voxel_size,
                       planarity_threshold=planarity_threshold,
                       hierarchy_factor=hierarchy_factor,
@@ -730,10 +787,10 @@ def bulk_build(centroids: jax.Array, counts: jax.Array, live: jax.Array,
                hierarchy_factor: int = 3,
                n_dropped=jnp.int32(0)) -> VoxelMapState:
     """Build a fresh map from (M,) weighted centroid records: merge
-    same-key records by weighted centroid, bulk-assign slots + bucket
-    cells by sort, recompute all surfels. Used by transform_and_rehash
-    and the sharded-map redistribution path (M may exceed c0; overflow
-    keys are dropped and counted)."""
+    same-key records by weighted centroid (merge capacity c0), bulk-assign
+    parent slots + bucket cells by sort, scatter children to their
+    parent-relative rows, recompute all surfels. Used by
+    transform_and_rehash and the sharded-map redistribution path."""
     m = counts.shape[0]
     f32 = jnp.float32
     cnt = jnp.where(live, counts, 0.0)
@@ -762,80 +819,63 @@ def bulk_build(centroids: jax.Array, counts: jax.Array, live: jax.Array,
         m_sum = m_sum.at[seg_t, w].add(s_sum[:, w], mode="drop")
     # representative key per segment
     m_hi = jnp.zeros((c0,), jnp.uint32).at[
-        jnp.where(first, seg_t, c0)].max(s_hi, mode="drop")
+        jnp.where(first, seg_t, c0)].max(s_hi, mode="drop", unique_indices=True)
     m_lo = jnp.zeros((c0,), jnp.uint32).at[
-        jnp.where(first, seg_t, c0)].max(s_lo, mode="drop")
+        jnp.where(first, seg_t, c0)].max(s_lo, mode="drop", unique_indices=True)
     m_live = jnp.arange(c0, dtype=jnp.int32) < jnp.minimum(nseg, c0)
     n_dropped = n_dropped + jnp.maximum(nseg - c0, 0)
 
-    # ---- L0 bulk index ----
-    slot0, cellpos0, placed0 = _bulk_index(
-        jnp.where(m_live, m_hi, K.INVALID_HI),
-        jnp.where(m_live, m_lo, K.INVALID_LO),
-        m_live, _n_buckets(c0), c0)
-    fresh = empty_map(c0, c1)
-    l0_index = _write_bulk(fresh.l0_index, slot0, cellpos0, placed0, m_hi, m_lo)
-    st0 = jnp.where(placed0, slot0, c0)
-    l0_meta = fresh.l0_meta
-    l0_meta = l0_meta.at[st0, 0].set(
-        jax.lax.bitcast_convert_type(m_hi, jnp.int32), mode="drop")
-    l0_meta = l0_meta.at[st0, 1].set(
-        jax.lax.bitcast_convert_type(m_lo, jnp.int32), mode="drop")
-    l0_meta = l0_meta.at[st0, 3].set(cellpos0, mode="drop")
-    l0_data = fresh.l0_data
-    l0_data = l0_data.at[st0, 0].set(jnp.where(placed0, m_cnt, 0.0), mode="drop")
-    for w in range(3):
-        l0_data = l0_data.at[st0, w + 1].set(
-            jnp.where(placed0, m_sum[:, w], 0.0), mode="drop")
-    n0 = jnp.sum(placed0.astype(jnp.int32))
-    l0_top = jnp.int32(c0) - n0
-
-    # ---- L1 bulk: distinct parents of placed voxels ----
+    # ---- distinct parents of merged voxels -> bulk L1 index ----
     mcoords = K.unpack_key(m_hi, m_lo)
-    par = K.parent_coords(mcoords, hierarchy_factor)
+    par = jnp.floor_divide(mcoords, hierarchy_factor)
     par_hi, par_lo = K.pack_key(par)
-    par_hi = jnp.where(placed0, par_hi, K.INVALID_HI)
-    par_lo = jnp.where(placed0, par_lo, K.INVALID_LO)
+    par_hi = jnp.where(m_live, par_hi, K.INVALID_HI)
+    par_lo = jnp.where(m_live, par_lo, K.INVALID_LO)
     ps_hi, ps_lo, ps_idx = jax.lax.sort(
         (par_hi, par_lo, jnp.arange(c0, dtype=jnp.int32)), num_keys=2)
-    ps_live = placed0[ps_idx]
+    ps_live = m_live[ps_idx]
     pfirst = jnp.concatenate([jnp.ones((1,), bool),
                               ~((ps_hi[1:] == ps_hi[:-1]) & (ps_lo[1:] == ps_lo[:-1]))])
     pfirst = pfirst & ps_live
     pseg = jnp.cumsum(pfirst.astype(jnp.int32)) - 1
     pseg_t = jnp.where((pseg >= 0) & (pseg < c1) & pfirst, pseg, c1)
-    u_hi = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_hi, mode="drop")
-    u_lo = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_lo, mode="drop")
+    u_hi = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_hi, mode="drop", unique_indices=True)
+    u_lo = jnp.zeros((c1,), jnp.uint32).at[pseg_t].max(ps_lo, mode="drop", unique_indices=True)
     npar_u = pseg[-1] + 1
     u_live = jnp.arange(c1, dtype=jnp.int32) < jnp.minimum(npar_u, c1)
     slot1, cellpos1, placed1 = _bulk_index(
         jnp.where(u_live, u_hi, K.INVALID_HI),
         jnp.where(u_live, u_lo, K.INVALID_LO),
         u_live, _n_buckets(c1), c1)
+    fresh = empty_map(0, c1)
     l1_index = _write_bulk(fresh.l1_index, slot1, cellpos1, placed1, u_hi, u_lo)
     st1 = jnp.where(placed1, slot1, c1)
     l1_meta = fresh.l1_meta
     l1_meta = l1_meta.at[st1, 0].set(
-        jax.lax.bitcast_convert_type(u_hi, jnp.int32), mode="drop")
+        jax.lax.bitcast_convert_type(u_hi, jnp.int32), mode="drop", unique_indices=True)
     l1_meta = l1_meta.at[st1, 1].set(
-        jax.lax.bitcast_convert_type(u_lo, jnp.int32), mode="drop")
-    l1_meta = l1_meta.at[st1, 3].set(cellpos1, mode="drop")
+        jax.lax.bitcast_convert_type(u_lo, jnp.int32), mode="drop", unique_indices=True)
+    l1_meta = l1_meta.at[st1, 3].set(cellpos1, mode="drop", unique_indices=True)
 
-    # register children: each placed voxel registers to its parent's slot
-    # (parent slot found by one bucket probe against the freshly built index)
+    # ---- scatter children into parent-relative rows ----
     pslot, phit, _, _ = _bucket_find(l1_index, par_hi, par_lo)
-    reg = placed0 & phit
-    l0_meta = l0_meta.at[jnp.where(reg, slot0, c0), 2].set(pslot, mode="drop")
+    placed0 = m_live & phit
     ch_off = _child_offset_of(mcoords)
-    l1_children = fresh.l1_children.at[
-        jnp.where(reg, pslot, c1), jnp.where(reg, ch_off, 0)].set(
-        jnp.where(reg, slot0, -1), mode="drop")
+    addr = jnp.where(placed0, jnp.clip(pslot, 0, c1 - 1) * NCH + ch_off,
+                     c1 * NCH)
+    l0_data = fresh.l0_data
+    l0_data = l0_data.at[addr, 0].set(jnp.where(placed0, m_cnt, 0.0),
+                                      mode="drop", unique_indices=True)
+    for w in range(3):
+        l0_data = l0_data.at[addr, w + 1].set(
+            jnp.where(placed0, m_sum[:, w], 0.0), mode="drop", unique_indices=True)
+    n0 = jnp.sum(placed0.astype(jnp.int32))
+    n_dropped = n_dropped + jnp.sum((m_live & ~placed0).astype(jnp.int32))
 
     # ---- recompute ALL surfels (RecomputeAllSurfels, VoxelMap.cpp:304-366)
-    all_slots = jnp.arange(c1, dtype=jnp.int32)
     occ = l1_meta[:, 0] != INVALID_I32
-    ccnt, mean, cov, _, _ = _child_stats(
-        l0_data, l1_children, all_slots, occ)
+    blk = l0_data.reshape(c1, NCH, 4)
+    ccnt, mean, cov, _ = _block_stats(blk)
     lam, normal = eigh3.eigh3(cov)
     plan = lam[:, 0] / (lam[:, 2] + 1e-6)
     has = occ & (ccnt >= MIN_OCCUPIED_CHILDREN) & (plan <= planarity_threshold)
@@ -845,21 +885,19 @@ def bulk_build(centroids: jax.Array, counts: jax.Array, live: jax.Array,
     n1 = jnp.sum(placed1.astype(jnp.int32))
 
     return VoxelMapState(
-        l0_meta=l0_meta, l0_data=l0_data, l0_index=l0_index,
-        l0_free=fresh.l0_free, l0_free_top=l0_top, n_l0=n0,
-        l1_index=l1_index, l1_meta=l1_meta, l1_last=jnp.where(occ, ccnt, 0),
-        l1_surfel=l1_surfel, l1_children=l1_children,
-        l1_free=fresh.l1_free, l1_free_top=jnp.int32(c1) - n1, n_l1=n1,
-        n_dropped=n_dropped)
+        l0_data=l0_data, l1_index=l1_index, l1_meta=l1_meta,
+        l1_last=jnp.where(occ, ccnt, 0), l1_surfel=l1_surfel,
+        l1_free=fresh.l1_free, l1_free_top=jnp.int32(c1) - n1,
+        n_l0=n0, n_l1=n1, n_dropped=n_dropped)
 
 
 def _write_bulk(index, slot, cellpos, placed, hi, lo):
     flat = index.reshape(-1)
     big = flat.shape[0]
     base = jnp.where(placed, (cellpos >> 3) * ROW + (cellpos & 7), big)
-    flat = flat.at[base].set(slot, mode="drop")
+    flat = flat.at[base].set(slot, mode="drop", unique_indices=True)
     flat = flat.at[jnp.where(placed, base + BUCKET, big)].set(
-        jax.lax.bitcast_convert_type(hi, jnp.int32), mode="drop")
+        jax.lax.bitcast_convert_type(hi, jnp.int32), mode="drop", unique_indices=True)
     flat = flat.at[jnp.where(placed, base + 2 * BUCKET, big)].set(
-        jax.lax.bitcast_convert_type(lo, jnp.int32), mode="drop")
+        jax.lax.bitcast_convert_type(lo, jnp.int32), mode="drop", unique_indices=True)
     return flat.reshape(index.shape)

@@ -42,7 +42,7 @@ __all__ = ["sharded_empty_map", "owner_of_points", "sharded_update_map",
            "sharded_icp_optimize", "sharded_transform_and_rehash",
            "map_specs", "gather_state"]
 
-_SCALARS = ("l0_free_top", "n_l0", "l1_free_top", "n_l1", "n_dropped")
+_SCALARS = ("l1_free_top", "n_l0", "n_l1", "n_dropped")
 
 
 def map_specs(mesh_axis: str = "map", batch_axis: str = None) -> vm.VoxelMapState:

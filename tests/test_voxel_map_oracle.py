@@ -135,18 +135,14 @@ def _make_points(rng, n, lo=-8.0, hi=8.0):
 
 
 def _state_dicts(state):
-    """Extract key->centroid (L0) and key->surfel (L1) from the device map."""
-    cen, valid = vm.l0_points(state)
-    cen = np.asarray(cen)
-    valid = np.asarray(valid)
+    """Extract key->centroid (L0) from the device map."""
     from lidar_odometry_tpu.utils import keys as K
+    hi, lo, _cnt, cen, live = vm.l0_records(state)
+    cen = np.asarray(cen)
+    live = np.asarray(live)
+    coords = np.asarray(K.unpack_key(hi, lo))
     l0 = {}
-    l0_key = np.asarray(state.l0_key) if hasattr(state, "l0_key") else None
-    if l0_key is None:
-        l0_key = np.asarray(state.l0_meta[:, :2]).astype(np.uint32)
-    coords = np.asarray(K.unpack_key(jnp.asarray(l0_key[:, 0], jnp.uint32),
-                                     jnp.asarray(l0_key[:, 1], jnp.uint32)))
-    for i in np.nonzero(valid)[0]:
+    for i in np.nonzero(live)[0]:
         l0[tuple(coords[i])] = cen[i]
     return l0
 
