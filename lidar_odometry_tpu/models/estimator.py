@@ -354,7 +354,8 @@ class Estimator:
                 keyframe_rotation=self.cfg.keyframe_rotation_threshold,
                 max_distance=self.cfg.max_range * 1.2,
                 planarity_threshold=self.cfg.surfel_planarity_threshold,
-                compute_surfels=self.cfg.use_surfel_correspondence)
+                compute_surfels=self.cfg.use_surfel_correspondence,
+                return_features=True)
 
         self._apply_pending_pgo_result_if_available()
         carry = fp.OdomCarry(
@@ -366,9 +367,17 @@ class Estimator:
             kf_count=jnp.int32(self.next_keyframe_id))
 
         scans_dev = jnp.asarray(np.ascontiguousarray(raw_scans, np.float32))
-        carry, (poses, is_kf, n_corr) = self._chunk_runner(carry, scans_dev)
+        carry, (poses, is_kf, n_corr, feats, masks) = self._chunk_runner(
+            carry, scans_dev)
         poses = np.asarray(poses)
         is_kf = np.asarray(is_kf)
+        # ONE chunk-level transfer of the feature clouds (the chunk
+        # computed them anyway); keyframe bookkeeping below needs no
+        # per-keyframe re-preprocess dispatch
+        any_kf = bool(is_kf.any())
+        if any_kf:
+            feats_np = np.asarray(feats)
+            masks_np = np.asarray(masks)
 
         self.map_state = carry.map_state
         self.T_current = self._normalize_rotation(np.asarray(carry.T_prev))
@@ -382,12 +391,11 @@ class Estimator:
         for f in range(len(poses)):
             pose = self._normalize_rotation(poses[f]).astype(np.float32)
             if is_kf[f]:
-                feat, mask, _ = self._preprocess(raw_scans[f], len(raw_scans[f]))
                 frame = FrameRecord(kf_ref=-1, relative_pose=np.eye(4, dtype=np.float32),
                                     is_keyframe=False)
                 self.frames.append(frame)
-                self._create_keyframe(feat, mask, frame, pose=pose,
-                                      update_map=False)
+                self._create_keyframe(feats_np[f], masks_np[f], frame,
+                                      pose=pose, update_map=False)
             else:
                 kf_ref = len(self.keyframes) - 1
                 rel = (np.linalg.inv(self.keyframes[kf_ref].stored_pose) @ pose

@@ -55,8 +55,9 @@ def init_carry(c0: int, c1: int) -> OdomCarry:
 def make_chunk_runner(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
                       **kw):
     """Build chunk(carry, scans (F, N, 3)) -> (carry, (poses (F,4,4),
-    is_kf (F,), n_corr (F,))). Scans are raw padded clouds; pad slots must
-    be non-finite (NaN) so the voxel filter drops them
+    is_kf (F,), n_corr (F,))) — plus (feats (F,cap,3), masks (F,cap))
+    when built with return_features=True. Scans are raw padded clouds;
+    pad slots must be non-finite (NaN) so the voxel filter drops them
     (reference semantics: Estimator.cpp:561-589 preprocess + :116-233)."""
     frame_step = _make_frame_step(icp_cfg, pko_consts, masked_update=False, **kw)
 
@@ -140,7 +141,8 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
 
 
 def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
-                     *, masked_update: bool = False, **kw):
+                     *, masked_update: bool = False,
+                     return_features: bool = False, **kw):
     pre, mupd, cupd = _make_parts(icp_cfg, pko_consts, **kw)
 
     def frame_step(carry: OdomCarry, raw_scan):
@@ -152,7 +154,14 @@ def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstant
             last_kf_pose=jnp.where(is_kf, T, carry.last_kf_pose),
             initialized=jnp.bool_(True),
             kf_count=carry.kf_count + is_kf.astype(jnp.int32))
-        return new_carry, (T, is_kf, n_corr)
+        out = (T, is_kf, n_corr)
+        if return_features:
+            # feature clouds ride out with the chunk so keyframe
+            # bookkeeping (loop-closure DB, KeyframeRecord) needs no
+            # per-keyframe re-preprocess dispatch (one device->host
+            # transfer per chunk instead of one per keyframe)
+            out = out + (feat, mask)
+        return new_carry, out
 
     return frame_step
 

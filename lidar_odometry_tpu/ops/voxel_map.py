@@ -409,10 +409,10 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     leader = jnp.zeros((p,), bool).at[s_idx].set(
         firstv, unique_indices=True)
 
-    # per-voxel [count | sum xyz] totals at sorted leader positions
-    # (prefix-sum differences over the key-sorted order) — the whole
-    # accumulation then lands as ONE unique row scatter-add instead of
-    # four sort-backed column scatter-adds over all P points
+    # per-voxel [count | sum xyz] totals (sorted segment-sum over the
+    # key-sorted order; exact per group, unlike a long prefix-sum
+    # difference) — the whole accumulation then lands as ONE unique row
+    # scatter-add instead of four sort-backed column scatter-adds
     pts_s = jnp.where(valid_s[:, None], new_pts[s_idx], 0.0)
     data4 = jnp.concatenate([valid_s.astype(f32)[:, None], pts_s], axis=1)
     gix = jnp.cumsum(firstk.astype(jnp.int32)) - 1    # monotonic group ids
