@@ -85,6 +85,21 @@ SMALL_CAP = 4096            # steady-state tier: new-key/affected/delete caps
 INVALID_I32 = -1            # bitcast of K.INVALID_HI / K.INVALID_LO
 
 
+def _scaled_caps(c1: int, p: int):
+    """Bounded-set caps scaled to the map/scan shapes. At full single-chip
+    shapes (c1=65536, p>=14k) these equal the module constants; per-shard
+    maps (parallel/sharded_map.py: c1/S cells, O(scan/S) points) get
+    proportionally smaller compaction/scatter programs — with fixed caps
+    an S=8 shard paid full-scan-sized sorts and scatters per update,
+    capping strong-scaling efficiency at ~30% (SCALING.json round 2.0).
+    Overflow semantics are unchanged: evictions/deletions defer, dropped
+    inserts count into n_dropped."""
+    evict_cap = max(256, min(EVICT_LIST, c1 // 32))
+    zero_cap = max(1024, min(CH_CAP, c1 // 8))
+    small_cap = max(256, min(SMALL_CAP, max(c1 // 16, p // 4)))
+    return evict_cap, zero_cap, small_cap
+
+
 def _n_buckets(capacity: int) -> int:
     n = max(capacity // 4, 8)   # avg load <= 2 keys per 8-cell bucket at 50% use
     p = 1
@@ -334,6 +349,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     nrows = c1 * NCH
     p = new_pts.shape[0]
     f32 = jnp.float32
+    evict_list, ch_cap, small_cap = _scaled_caps(c1, p)
 
     l0_data = state.l0_data
     l1_index, l1_meta = state.l1_index, state.l1_meta
@@ -344,7 +360,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # per-child test runs over the full child table (one bandwidth-bound
     # elementwise pass + a (C1, 27) any-reduce — ~0.1 ms at bench
     # capacity); parents with at least one evicting child compact to
-    # EVICT_LIST and their child blocks are gathered for the bounded
+    # evict_list and their child blocks are gathered for the bounded
     # masked zeroing. Parents beyond the cap defer to the next update
     # (the mask is recomputed from live centroids: delayed, never
     # lost). A cheaper key-based parent prefilter was tried and
@@ -358,26 +374,26 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
     cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
 
-    ev_list, _ = _compact(cand_evict, EVICT_LIST)
+    ev_list, _ = _compact(cand_evict, evict_list)
     ev_ok = ev_list >= 0
     evp = jnp.clip(ev_list, 0, c1 - 1)
     ev_rows = (evp[:, None] * NCH
                + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
-    blk = l0_data[ev_rows].reshape(EVICT_LIST, NCH, 4)      # (E, 27, 4)
+    blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)      # (E, 27, 4)
     bcnt = blk[..., 0]
     brv = blk[..., 1:4] - bcnt[..., None] * sensor_pos[None, None, :]
     bd2c = jnp.sum(brv * brv, axis=-1)
     bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
 
     # zero evicted child rows via a compacted address list (bounded by
-    # CH_CAP; the per-parent decrement matches exactly what was zeroed,
+    # ch_cap; the per-parent decrement matches exactly what was zeroed,
     # so deferred children evict next update)
     bev_flat = bev.reshape(-1)
-    kept_flat = bev_flat & (jnp.cumsum(bev_flat.astype(jnp.int32)) <= CH_CAP)
-    kept = kept_flat.reshape(EVICT_LIST, NCH)
-    ch_idx, _ = _compact(kept_flat, CH_CAP)
+    kept_flat = bev_flat & (jnp.cumsum(bev_flat.astype(jnp.int32)) <= ch_cap)
+    kept = kept_flat.reshape(evict_list, NCH)
+    ch_idx, _ = _compact(kept_flat, ch_cap)
     ch_ok = ch_idx >= 0
-    ch_addr = ev_rows[jnp.clip(ch_idx, 0, EVICT_LIST * NCH - 1)]
+    ch_addr = ev_rows[jnp.clip(ch_idx, 0, evict_list * NCH - 1)]
     l0_data = _zero_child_rows(l0_data, ch_addr, ch_ok)
     n_per_par = jnp.sum(kept.astype(jnp.int32), axis=1)
     l1_meta = l1_meta.at[jnp.where(ev_ok, evp, c1), 2].add(
@@ -428,6 +444,11 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     pre_cnt = jnp.where(hit0 & new_mask, l0_data[addr0, 0], 0.0)
     is_new_voxel = leader & (pre_cnt == 0.0)
     n_new = jnp.sum(is_new_voxel.astype(jnp.int32))
+    # POINTS whose parent cell is missing from the index: _resolve_parents
+    # compacts exactly these to cap2 and points beyond the cap are DROPPED,
+    # so the small tier also requires n_unresolved <= its cap (new voxels
+    # per parent can exceed 1, so n_new alone under-counts).
+    n_unres = jnp.sum((new_mask & ~hit0).astype(jnp.int32))
 
     def tier(new_cap: int, aff_cap: int, r_cap: int):
         def run(args):
@@ -471,7 +492,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 [jnp.where(new_ok, pslot[ni], c1),
                  jnp.where(evpar >= 0, evpar, c1)])
             cand_new = jnp.concatenate([jnp.ones((new_cap,), bool),
-                                        jnp.zeros((EVICT_LIST,), bool)])
+                                        jnp.zeros((evict_list,), bool)])
             m2 = cand_slot.shape[0]
             # sort by (slot, ~is_new) so each group's leader carries is_new
             skey2 = cand_slot * 2 + (1 - cand_new.astype(jnp.int32))
@@ -619,15 +640,15 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             l1_free, l1_top, n_l0, state.n_dropped)
     (l0_data, l1_index, l1_meta, l1_last, l1_surfel, l1_free, l1_top,
      n_l0, n_dropped) = jax.lax.cond(
-        n_new <= min(SMALL_CAP, p),
+        (n_new <= min(small_cap, p)) & (n_unres <= min(small_cap, p)),
         # caps never exceed what the input size can produce: at most p new
-        # voxels, at most p + EVICT_LIST affected parents — so small scans
+        # voxels, at most p + evict_list affected parents — so small scans
         # (e.g. O(scan/S) per-shard buffers in the sharded map) get
         # proportionally small update programs instead of paying the
         # full-scan tier constants
-        tier(min(SMALL_CAP, p), min(SMALL_CAP, p),
-             max(min(SMALL_CAP * 3 // 8, p), 8)),
-        tier(p, min(2 * SMALL_CAP, p + EVICT_LIST), min(2 * SMALL_CAP, p)),
+        tier(min(small_cap, p), min(small_cap, p),
+             max(min(small_cap * 3 // 8, p), 8)),
+        tier(p, min(2 * small_cap, p + evict_list), min(2 * small_cap, p)),
         args)
 
     return VoxelMapState(

@@ -71,21 +71,29 @@ def test_sharded_eviction_matches_single_device():
     mesh = mesh_mod.make_mesh(8, ("map",))
     _, single, sharded, pose, _ = _build_both(mesh)
     # evict a band of the map from an offset sensor position. Eviction is
-    # bounded per update (EVICT_LIST; excess defers to the next update,
-    # where the radius mask is recomputed), so drain with two updates —
-    # after that, single-chip and sharded maps must agree exactly.
+    # bounded per update (evict-candidate cap scaled to map capacity;
+    # excess defers to the next update, where the radius mask is
+    # recomputed), and the single map's demand is 8x each shard's — so
+    # drain until both stop changing; at convergence they must agree
+    # exactly.
     n_before = int(np.asarray(single.n_l0))
     far = jnp.asarray([25.0, 0.0, 0.0], jnp.float32)
     nanpts = jnp.full((64, 3), jnp.nan, jnp.float32)
     nomask = jnp.zeros((64,), bool)
-    for _ in range(2):
+    evict_cap, _, _ = vm._scaled_caps(C1, 64)
+    prev = (-1, -1)
+    for _ in range(-(-n_before // evict_cap) + 2):
         single = vm.update_map(single, nanpts, nomask, far, 30.0,
                                voxel_size=0.5, planarity_threshold=0.1)
         sharded = sm.sharded_update_map(sharded, nanpts, nomask, far, 30.0,
                                         mesh, voxel_size=0.5,
                                         planarity_threshold=0.1)
-    n_single = int(np.asarray(single.n_l0))
-    n_sharded = int(np.asarray(sharded.n_l0).sum())
+        cur = (int(np.asarray(single.n_l0)),
+               int(np.asarray(sharded.n_l0).sum()))
+        if cur == prev:
+            break
+        prev = cur
+    n_single, n_sharded = prev
     assert n_single == n_sharded
     assert n_single < n_before  # something actually evicted
 

@@ -151,13 +151,17 @@ def test_insert_evict_reinsert_cycles():
         found = np.asarray(vm.voxel_occupied(state, pts, voxel_size=0.5))
         assert found.mean() > 0.995, found.mean()
         # evict everything (sensor far away); eviction is bounded per
-        # update (EVICT_LIST candidate parents), so drain with two
-        state = vm.update_map(state, jnp.full_like(pts, jnp.nan),
-                              jnp.zeros(len(base), bool), far_sensor, 50.0,
-                              voxel_size=0.5, planarity_threshold=1.0)
-        state = vm.update_map(state, jnp.full_like(pts, jnp.nan),
-                              jnp.zeros(len(base), bool), far_sensor, 50.0,
-                              voxel_size=0.5, planarity_threshold=1.0)
+        # update (evict-candidate parent cap, scaled to map capacity),
+        # so drain repeatedly — deferral must converge to empty
+        evict_cap, _, _ = vm._scaled_caps(4096, len(base))
+        max_drains = -(-3000 // evict_cap) + 1
+        for _ in range(max_drains):
+            state = vm.update_map(state, jnp.full_like(pts, jnp.nan),
+                                  jnp.zeros(len(base), bool), far_sensor,
+                                  50.0, voxel_size=0.5,
+                                  planarity_threshold=1.0)
+            if int(state.n_l0) == 0:
+                break
         assert int(state.n_l0) == 0, cycle
     # final reinsert: counts stable across cycles (no slot/index leak)
     state = vm.update_map(state, pts, mask, near_sensor, 120.0,

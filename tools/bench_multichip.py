@@ -171,12 +171,20 @@ def main():
         t_frame_S = ICP_ITERS * (t_icp + T_COMM_S) + (t_upd / 4.0)
         t_frame_1 = ICP_ITERS * t1_icp + (t1_update / 4.0)
         eff = t_frame_1 / (S * t_frame_S)
+        # weak scaling: hold per-shard shapes at the S=1 operating point
+        # (C0_TOTAL slots, full scan) and let S scale the TOTAL map S-x —
+        # per-shard compute is then the S=1 measurement by construction,
+        # and the only added cost is the per-step psum latency
+        eff_weak = t_frame_1 / (ICP_ITERS * (t1_icp + (T_COMM_S if S > 1
+                                                       else 0.0))
+                                + t1_update / 4.0)
         results[str(S)] = {
             "per_shard_update_ms": round(t_upd * 1e3, 2),
             "per_shard_icp_iter_ms": round(t_icp * 1e3, 3),
             "owned_point_cap": cap,
             "l0_capacity": c0,
             "map_axis_efficiency": round(eff, 3),
+            "weak_scaling_efficiency": round(eff_weak, 3),
             "n_l0": int(np.asarray(st.n_l0)),
         }
         print(f"# S={S}: update={t_upd*1e3:.2f}ms icp_iter={t_icp*1e3:.3f}ms "
@@ -197,11 +205,16 @@ def main():
             "rehash": "all_gather of live voxel records, loop closures only",
         },
         "results": results,
-        "note": ("map-axis efficiency is per-chip map capacity scaling: S "
-                 "chips hold an S-x larger map at the reported efficiency. "
-                 "Virtual-CPU-mesh wall-clock is not reported: the host has "
-                 "2 cores, so 8 virtual devices cannot show wall-clock "
-                 "scaling (tests/test_parallel.py proves S=8 semantics)."),
+        "note": ("map_axis_efficiency is STRONG scaling: a fixed-size "
+                 "problem split S ways (per-shard shapes shrink, so "
+                 "fixed per-op latency floors bite at high S). "
+                 "weak_scaling_efficiency is the deployment story for a "
+                 "sharded map: S chips hold an S-x larger map/environment "
+                 "at constant per-shard shapes; the only added cost vs "
+                 "S=1 is psum latency. Virtual-CPU-mesh wall-clock is not "
+                 "reported: the host has 2 cores, so 8 virtual devices "
+                 "cannot show wall-clock scaling (tests/test_parallel.py "
+                 "proves S=8 semantics)."),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:

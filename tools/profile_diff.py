@@ -83,12 +83,25 @@ def main():
         max_iterations=1), consts, scans, **kw)
     no_pko = run_variant("icp w/o PKO", base_icp.replace(
         use_adaptive_m_estimator=False), consts, scans, **kw)
+    # floor dissection: max_iterations=0 makes the ICP while_loop exit
+    # immediately (T = guess, no correspondences) -> filter + frame
+    # bookkeeping only; stride 16 halves the filter's sort width on top
+    no_icp = run_variant("no icp (filter+bookkeeping)", base_icp.replace(
+        max_iterations=0), consts, scans,
+        **{**kw, "keyframe_distance": 1e9, "keyframe_rotation": 1e9})
+    half_filter = run_variant("no icp, stride 16", base_icp.replace(
+        max_iterations=0), consts, scans,
+        **{**kw, "point_stride": 16, "keyframe_distance": 1e9,
+           "keyframe_rotation": 1e9})
     print("# --- deltas (fused-context stage costs) ---", file=sys.stderr)
     print(f"map update total      : {base-no_kf:6.3f} ms/frame", file=sys.stderr)
     print(f"  surfel recompute    : {base-no_surf:6.3f} ms/frame", file=sys.stderr)
     print(f"icp iterations 2-4    : {base-icp1:6.3f} ms/frame", file=sys.stderr)
     print(f"pko                   : {base-no_pko:6.3f} ms/frame", file=sys.stderr)
     print(f"floor (filter+icp1+..): {no_kf:6.3f} ms/frame", file=sys.stderr)
+    print(f"icp stage (1 it + pko): {no_kf-no_icp:6.3f} ms/frame", file=sys.stderr)
+    print(f"filter+bookkeeping    : {no_icp:6.3f} ms/frame", file=sys.stderr)
+    print(f"  filter sort half    : {no_icp-half_filter:6.3f} ms/frame", file=sys.stderr)
 
 
 if __name__ == "__main__":
