@@ -225,7 +225,9 @@ class Estimator:
         feat, mask, n = voxel_filter.voxel_filter(
             raw, jnp.int32(min(n_points, len(raw_points))),
             voxel_size=self.cfg.voxel_size, stride=self.cfg.point_stride,
-            out_capacity=cap)
+            out_capacity=cap,
+            compact_keys=voxel_filter.compact_keys_ok(
+                self.cfg.voxel_size, 200.0))
         return feat, mask, n
 
     def _initialize_first_frame(self, feat, mask):

@@ -81,11 +81,16 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
     keyframe decision — map read-only) and the two map-update styles, so
     the single-stream and batched runners compose them differently."""
 
+    # compact single-u32 filter keys when their ±512-voxel envelope covers
+    # any plausible LiDAR return (200 m; KITTI HDL-64E ~120 m) — the
+    # 2-operand sort is measurably cheaper than the generic 3-operand one
+    compact = vf.compact_keys_ok(scan_voxel_size, 200.0)
+
     def pre(carry: OdomCarry, raw_scan):
         feat, mask, _ = vf.voxel_filter(
             raw_scan, jnp.int32(raw_scan.shape[0]),
             voxel_size=scan_voxel_size, stride=point_stride,
-            out_capacity=scan_capacity)
+            out_capacity=scan_capacity, compact_keys=compact)
 
         guess = carry.T_prev @ carry.velocity
         T_icp, success, n_corr = icp_ops.icp_optimize(

@@ -199,19 +199,31 @@ def pko_scale_factor(residuals: jax.Array, valid: jax.Array,
     `residuals` are the normalized |r|/scale values; `valid` masks padding.
     """
     n = residuals.shape[0]
+    m = consts.gmm_sample_size
     key = jax.random.PRNGKey(42)  # deterministic, mirroring the fixed seed
-    # Uniform sample without replacement from the valid entries.
-    noise = jax.random.uniform(key, (n,))
-    score = jnp.where(valid, noise, 2.0)  # invalid entries sort last
-    order = jnp.argsort(score)
-    take = order[:consts.gmm_sample_size]
-    samples = residuals[take]
-    # If fewer valid than sample_size, reuse of invalid-slot values is
-    # prevented by clamping to a valid entry.
+    # Stratified subsample of the valid entries WITHOUT a sort: rank the
+    # valid entries by cumsum, invert rank -> index with one unique
+    # scatter, and draw one uniform rank per stratum (distinct ranks by
+    # construction when n_valid >= m). The previous argsort-of-noise
+    # draw paid a full n-element sort per ICP iteration (~0.1 ms at 14k
+    # on v5e) for the same statistical job; the reference semantics —
+    # fixed-seed uniform subsample, AdaptiveMEstimator.cpp:322 — keep
+    # determinism, not the exact index sequence (see module docstring).
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    first_valid = order[0]
-    ok = jnp.arange(consts.gmm_sample_size) < n_valid
-    samples = jnp.where(ok, samples, residuals[first_valid])
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx_of_rank = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(valid, rank, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    u = jax.random.uniform(key, (m,))
+    k = jnp.floor((jnp.arange(m, dtype=jnp.float32) + u)
+                  * n_valid.astype(jnp.float32) / m).astype(jnp.int32)
+    k = jnp.clip(k, 0, jnp.maximum(n_valid - 1, 0))
+    take = idx_of_rank[k]
+    samples = residuals[take]
+    # If fewer valid than sample_size, duplicate ranks resolve to valid
+    # entries by the clamp above; an all-invalid call degrades to slot 0.
+    ok = jnp.arange(m) < n_valid
+    samples = jnp.where(ok, samples, residuals[idx_of_rank[0]])
 
     w, mu, var = _fit_gmm(samples, consts.gmm_components, key)
 

@@ -65,3 +65,30 @@ def test_matches_numpy_reference_impl():
     got = out[np.lexsort(out.T)]
     want = cents[np.lexsort(cents.T)]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_compact_keys_matches_generic():
+    """The compact single-u32 key path must produce the same voxel set and
+    centroids as the generic (hi, lo) path for in-envelope scans, and drop
+    out-of-envelope points like non-finite ones."""
+    rng = np.random.default_rng(3)
+    pts = (rng.standard_normal((4096, 3)) * 30).astype(np.float32)
+    pts[17] = np.nan
+    g_c, g_m, g_n = voxel_filter(jnp.asarray(pts), jnp.int32(4096),
+                                 voxel_size=0.5, stride=2, out_capacity=4096)
+    c_c, c_m, c_n = voxel_filter(jnp.asarray(pts), jnp.int32(4096),
+                                 voxel_size=0.5, stride=2, out_capacity=4096,
+                                 compact_keys=True)
+    assert int(g_n) == int(c_n)
+    a = np.asarray(g_c)[np.asarray(g_m)]
+    b = np.asarray(c_c)[np.asarray(c_m)]
+    np.testing.assert_allclose(a[np.lexsort(a.T)], b[np.lexsort(b.T)],
+                               atol=1e-5)
+    # out-of-envelope point (beyond +-512 voxels) is dropped, not aliased
+    far = np.zeros((8, 3), np.float32)
+    far[0] = [0.1, 0.1, 0.1]
+    far[1] = [400.0, 0.0, 0.0]     # 800 voxels at 0.5 m -> outside
+    _, _, n_far = voxel_filter(jnp.asarray(far), jnp.int32(2),
+                               voxel_size=0.5, stride=1, out_capacity=8,
+                               compact_keys=True)
+    assert int(n_far) == 1
