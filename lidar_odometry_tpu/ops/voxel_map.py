@@ -450,16 +450,21 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # per parent can exceed 1, so n_new alone under-counts).
     n_unres = jnp.sum((new_mask & ~hit0).astype(jnp.int32))
 
-    def tier(new_cap: int, aff_cap: int, r_cap: int):
+    def tier(new_cap: int, aff_cap: int, r_cap: int, resolve_cap: int = 0):
+        resolve = resolve_cap or new_cap
+
         def run(args):
             (l0_data, l1_index, l1_meta, l1_last, l1_surfel,
              l1_free, l1_top, n_l0, n_dropped) = args
 
             # ---- Step 3: resolve-or-alloc parent slots for all points
-            # (AddPoint + RegisterToParent, VoxelMap.cpp:77-120) ----
+            # (AddPoint + RegisterToParent, VoxelMap.cpp:77-120).
+            # resolve_cap sizes the unresolved-POINT compaction (points
+            # past it are dropped) independently of the new-child caps.
+            # ----
             l1_index, l1_meta, l1_top, pslot, l1_new_c, _ = _resolve_parents(
                 l1_index, l1_meta, l1_free, l1_top, phi, plo, new_mask,
-                cap2=new_cap, find0=find0)
+                cap2=resolve, find0=find0)
             placed = new_mask & (pslot >= 0)
 
             # ---- Step 4: accumulate — ONE unique row scatter-add of the
@@ -638,17 +643,34 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
 
     args = (l0_data, l1_index, l1_meta, state.l1_last, state.l1_surfel,
             l1_free, l1_top, n_l0, state.n_dropped)
+    # Three size tiers (branch picked by the EXACT per-update counts, so
+    # the steady state pays the smallest legal program):
+    #   small  — n_new and n_unresolved both fit small_cap (typical
+    #            steady keyframe);
+    #   middle — identical caps but a 2x resolve compaction: keyframes
+    #            whose fresh voxels cluster >1 point/parent flip here
+    #            instead of to bulk (measured 3.1 ms vs 1.6 ms per
+    #            keyframe on v5e — and widening small's resolve cap for
+    #            everyone cost 30 fps, so the widening is its own tier);
+    #   bulk   — first keyframes / teleports: full-size caps.
+    # Caps never exceed what the input size can produce: at most p new
+    # voxels, at most p + evict_list affected parents — so small scans
+    # (e.g. O(scan/S) per-shard buffers in the sharded map) get
+    # proportionally small update programs instead of paying the
+    # full-scan tier constants.
+    sc = min(small_cap, p)
+    resolve_mid = min(2 * small_cap, p)
+    r_small = max(min(small_cap * 3 // 8, p), 8)
+    branch = jnp.where(
+        (n_new <= sc) & (n_unres <= sc), 0,
+        jnp.where((n_new <= sc) & (n_unres <= resolve_mid), 1, 2))
     (l0_data, l1_index, l1_meta, l1_last, l1_surfel, l1_free, l1_top,
-     n_l0, n_dropped) = jax.lax.cond(
-        (n_new <= min(small_cap, p)) & (n_unres <= min(small_cap, p)),
-        # caps never exceed what the input size can produce: at most p new
-        # voxels, at most p + evict_list affected parents — so small scans
-        # (e.g. O(scan/S) per-shard buffers in the sharded map) get
-        # proportionally small update programs instead of paying the
-        # full-scan tier constants
-        tier(min(small_cap, p), min(small_cap, p),
-             max(min(small_cap * 3 // 8, p), 8)),
-        tier(p, min(2 * small_cap, p + evict_list), min(2 * small_cap, p)),
+     n_l0, n_dropped) = jax.lax.switch(
+        branch,
+        [tier(sc, sc, r_small),
+         tier(sc, sc, r_small, resolve_cap=resolve_mid),
+         tier(p, min(2 * small_cap, p + evict_list),
+              min(2 * small_cap, p), resolve_cap=p)],
         args)
 
     return VoxelMapState(
