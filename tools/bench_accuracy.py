@@ -111,6 +111,8 @@ def main():
             "fps": round(N_FRAMES / dt, 1),
         }
         out[tag] = res
+        est.shutdown()  # join the loop/PGO worker (an unjoined thread
+        # holding the device client aborts at interpreter teardown)
         print(f"# {tag}: ate={res['ate_rmse_m']}m "
               f"trans={res['segment_translation_pct']}% "
               f"rot={res['segment_rotation_deg_per_100m']}deg/100m "
