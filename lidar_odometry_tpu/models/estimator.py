@@ -338,6 +338,27 @@ class Estimator:
     # loop closure, and PGO reconciled on the host between chunks.
     # ------------------------------------------------------------------
 
+    @staticmethod
+    @jax.jit
+    def _pack_chunk_outputs(poses, is_kf, n_corr, feats, masks,
+                            T_prev, velocity, last_kf_pose):
+        """Pack all chunk outputs into one (F+1, 19+cap*3) f32 array so
+        the host fetches everything in ONE transfer (see process_chunk)."""
+        f, cap = feats.shape[0], feats.shape[1]
+        f32 = jnp.float32
+        n_valid = jnp.sum(masks.astype(jnp.int32), axis=1)
+        head = jnp.concatenate(
+            [poses.reshape(f, 16).astype(f32),
+             is_kf[:, None].astype(f32), n_corr[:, None].astype(f32),
+             n_valid[:, None].astype(f32)], axis=1)        # (F, 19)
+        rows = jnp.concatenate(
+            [head, feats.reshape(f, cap * 3).astype(f32)], axis=1)
+        tail = jnp.concatenate(
+            [T_prev.reshape(16), velocity.reshape(16),
+             last_kf_pose.reshape(16),
+             jnp.zeros((rows.shape[1] - 48,), f32)])[None, :]
+        return jnp.concatenate([rows, tail], axis=0)
+
     def process_chunk(self, raw_scans: np.ndarray) -> bool:
         """Process (F, N, 3) scans in one device dispatch. Pad slots must
         be NaN. Semantically equivalent to F process_frame calls with loop
@@ -371,20 +392,32 @@ class Estimator:
         scans_dev = jnp.asarray(np.ascontiguousarray(raw_scans, np.float32))
         carry, (poses, is_kf, n_corr, feats, masks) = self._chunk_runner(
             carry, scans_dev)
-        poses = np.asarray(poses)
-        is_kf = np.asarray(is_kf)
-        # ONE chunk-level transfer of the feature clouds (the chunk
-        # computed them anyway); keyframe bookkeeping below needs no
-        # per-keyframe re-preprocess dispatch
-        any_kf = bool(is_kf.any())
-        if any_kf:
-            feats_np = np.asarray(feats)
-            masks_np = np.asarray(masks)
+        # ONE device->host transfer per chunk: every synchronous
+        # np.asarray pays a full tunnel round trip (~150 ms on axon), and
+        # the seven separate fetches here made the API path 8x slower
+        # than the device work (cProfile: 94% of process_chunk inside
+        # jax.Array._value; copy_to_host_async does not overlap on this
+        # backend). All outputs pack into one f32 array on device —
+        # per-frame rows [pose(16) | is_kf | n_corr | n_valid | feat xyz]
+        # plus a tail row carrying T_prev/velocity/last_kf_pose exactly.
+        packed = np.asarray(self._pack_chunk_outputs(
+            poses, is_kf, n_corr, feats, masks,
+            carry.T_prev, carry.velocity, carry.last_kf_pose))
+        f = poses.shape[0]
+        cap = feats.shape[1]
+        poses = packed[:f, :16].reshape(f, 4, 4)
+        is_kf = packed[:f, 16] > 0.5
+        feats_np = packed[:f, 19:19 + cap * 3].reshape(f, cap, 3)
+        # the voxel filter's mask is a strict prefix (arange < n_voxels,
+        # ops/voxel_filter.py), so one count per frame reconstructs it
+        n_valid = packed[:f, 18].astype(np.int32)
+        masks_np = np.arange(cap)[None, :] < n_valid[:, None]
+        tail = packed[f, :48]
 
         self.map_state = carry.map_state
-        self.T_current = self._normalize_rotation(np.asarray(carry.T_prev))
-        self.velocity = np.asarray(carry.velocity)
-        self.last_keyframe_pose = np.asarray(carry.last_kf_pose)
+        self.T_current = self._normalize_rotation(tail[:16].reshape(4, 4))
+        self.velocity = tail[16:32].reshape(4, 4).copy()
+        self.last_keyframe_pose = tail[32:48].reshape(4, 4).copy()
         self._prev_pose = self.T_current
         self.initialized = True
 
@@ -407,7 +440,8 @@ class Estimator:
                     is_keyframe=False))
             self.frame_count += 1
         # keep the keyframe-pose base consistent with the device carry
-        self.last_keyframe_pose = np.asarray(carry.last_kf_pose)
+        # (the packed tail holds the exact device value — no extra fetch)
+        self.last_keyframe_pose = tail[32:48].reshape(4, 4).copy()
 
         timing = TimingStats(total_ms=(time.perf_counter() - t_start) * 1e3)
         self.timing_history.append(timing)
