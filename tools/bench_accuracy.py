@@ -85,6 +85,14 @@ def main():
     print("# generating scans...", file=sys.stderr)
     scans, gt = make_scans()
 
+    # Warm the chunk-program compile cache with a throwaway estimator so
+    # the measured wall_s/fps reflect steady-state work, not the first
+    # invocation's XLA compile (a cold compile is ~10 min on axon and
+    # any source edit shifts the cache key).
+    print("# warmup (compile cache)...", file=sys.stderr)
+    est_w, _ = run(scans[:2 * CHUNK], enable_loop=False)
+    est_w.shutdown()
+
     out = {"kind": "kitti07_like_accuracy",
            "frames": N_FRAMES,
            "path_length_m": round(float(np.sum(np.linalg.norm(
