@@ -78,24 +78,48 @@ class LoopClosureDetector:
         img = iris.iris_image(jnp.asarray(cloud), jnp.asarray(mask))
         return iris.iris_feature(img)
 
+    @staticmethod
+    @jax.jit
+    def _extract_batch_packed(clouds, masks):
+        """Batch extraction with ONE uint32 output array — a synchronous
+        np.asarray pays a full tunnel round trip, so the image/T/M fetch
+        is packed into a single transfer (cols: img | T | M)."""
+        imgs = jax.vmap(iris.iris_image)(clouds, masks)
+        _, Ts, Ms = jax.vmap(iris.iris_feature)(imgs)
+        b = imgs.shape[0]
+        return jnp.concatenate(
+            [imgs.astype(jnp.uint32).reshape(b, -1),
+             Ts.reshape(b, -1), Ms.reshape(b, -1)], axis=1)
+
     def _drain_pending(self):
         """Extract queued keyframes in vmapped batches: the round-1
         one-at-a-time loop starved the background worker when many
         keyframes queued between queries (each drain was a separate
         device dispatch chain)."""
-        B = self._DRAIN_BATCH
+        n_img = iris.ROWS * iris.COLS
+        n_tm = iris.PACKED_WORDS * iris.COLS
         while self._pending:
-            batch = self._pending[:B]
-            self._pending = self._pending[B:]
+            # batch size = next power of two covering the pending count
+            # (<= _DRAIN_BATCH): the common steady case is 1-2 pending
+            # per query, and padding those to 16 cost a 2.7 MB fetch per
+            # drain on a ~150 ms-latency tunnel. Power-of-two buckets
+            # bound the compile count to 5 shapes.
+            b = 1
+            while b < min(len(self._pending), self._DRAIN_BATCH):
+                b *= 2
+            batch = self._pending[:b]
+            self._pending = self._pending[b:]
             k = len(batch)
-            clouds = np.stack([b[0] for b in batch] + [batch[0][0]] * (B - k))
-            masks = np.stack([b[1] for b in batch] + [batch[0][1]] * (B - k))
-            imgs = jax.vmap(iris.iris_image)(jnp.asarray(clouds),
-                                             jnp.asarray(masks))
-            _, Ts, Ms = jax.vmap(iris.iris_feature)(imgs)
-            imgs_np = np.asarray(imgs).astype(np.uint8)
-            Ts_np = np.asarray(Ts)
-            Ms_np = np.asarray(Ms)
+            clouds = np.stack([x[0] for x in batch] + [batch[0][0]] * (b - k))
+            masks = np.stack([x[1] for x in batch] + [batch[0][1]] * (b - k))
+            packed = np.asarray(self._extract_batch_packed(
+                jnp.asarray(clouds), jnp.asarray(masks)))
+            imgs_np = packed[:, :n_img].astype(np.uint8).reshape(
+                b, iris.ROWS, iris.COLS)
+            Ts_np = packed[:, n_img:n_img + n_tm].reshape(
+                b, iris.PACKED_WORDS, iris.COLS)
+            Ms_np = packed[:, n_img + n_tm:].reshape(
+                b, iris.PACKED_WORDS, iris.COLS)
             for j in range(k):
                 _, _, kf_id, position = batch[j]
                 if self._db_n >= self.capacity:
@@ -119,7 +143,16 @@ class LoopClosureDetector:
         if self._db_n == 0:
             return []
 
-        q_img, qT, qM = self._extract(query_cloud, query_mask)
+        # The query keyframe was just drained into the DB — reuse its
+        # stored descriptor (staging three small rows) instead of
+        # re-uploading and re-extracting the raw cloud.
+        if query_kf_id in self._kf_ids:
+            qi = self._kf_ids.index(query_kf_id)
+            q_img = jnp.asarray(self._db_img[qi].astype(np.float32))
+            qT = jnp.asarray(self._db_T[qi])
+            qM = jnp.asarray(self._db_M[qi])
+        else:
+            q_img, qT, qM = self._extract(query_cloud, query_mask)
 
         ids = np.asarray(self._kf_ids[: self._db_n])
         pos = np.stack(self._positions[: self._db_n])
@@ -140,14 +173,17 @@ class LoopClosureDetector:
         valid = np.zeros(pad, bool)
         valid[: len(cand_idx)] = True
 
-        c_img = np.stack([self._db_img[i] for i in idx_p]).astype(np.float32)
+        # Candidates stage as uint8 images (the f32 cast quadrupled the
+        # upload) and the (distance, bias) results come back in ONE
+        # packed fetch — round trips dominate this path on a tunnel.
+        c_img = np.stack([self._db_img[i] for i in idx_p])
         c_T = np.stack([self._db_T[i] for i in idx_p])
         c_M = np.stack([self._db_M[i] for i in idx_p])
-        dists, biases = iris.compare_batch(
+        out = np.asarray(iris.compare_batch_packed(
             q_img, qT, qM, jnp.asarray(c_img), jnp.asarray(c_T),
-            jnp.asarray(c_M), jnp.asarray(valid))
-        dists = np.asarray(dists)
-        biases = np.asarray(biases)
+            jnp.asarray(c_M), jnp.asarray(valid)))
+        dists = out[:, 0]
+        biases = out[:, 1].astype(np.int32)
         best = int(np.argmin(dists))
         best_score = float(dists[best])
         if not np.isfinite(best_score) or best_score > self.config.similarity_threshold:

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["iris_image", "log_gabor_filters", "iris_feature",
-           "compare_batch", "ROWS", "COLS", "NSCALE", "PACKED_WORDS"]
+           "compare_batch", "compare_batch_packed", "ROWS", "COLS",
+           "NSCALE", "PACKED_WORDS"]
 
 ROWS = 80
 COLS = 360
@@ -189,3 +190,12 @@ def compare_batch(q_img, qT, qM, db_img, dbT, dbM, db_valid):
     dists, biases = jax.vmap(lambda di, dt, dm: _compare_one(qf, qT, qM, di, dt, dm))(
         db_img, dbT, dbM)
     return jnp.where(db_valid, dists, jnp.inf), biases
+
+
+@jax.jit
+def compare_batch_packed(q_img, qT, qM, db_img, dbT, dbM, db_valid):
+    """compare_batch with one (K, 2) f32 output [distance | bias] so the
+    host fetches results in a single transfer (biases < 360 are exact in
+    f32)."""
+    dists, biases = compare_batch(q_img, qT, qM, db_img, dbT, dbM, db_valid)
+    return jnp.stack([dists, biases.astype(jnp.float32)], axis=1)
