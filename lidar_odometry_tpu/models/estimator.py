@@ -130,6 +130,7 @@ class Estimator:
 
         self._prev_pose = np.eye(4, dtype=np.float32)
         self._last_feat = None           # (device) last frame's feature cloud
+        self._last_icp_guess = None      # pre-ICP pose of the last frame
         self._last_mask = None
 
         # background loop/PGO machinery (reference Estimator.cpp:890-957)
@@ -188,6 +189,8 @@ class Estimator:
         T_dev, success, n_corr = icp.icp_optimize(
             self.map_state, feat, mask, guess, self.pko_consts, self.icp_cfg)
         T_new = np.asarray(T_dev)
+        self._last_icp_guess = np.asarray(guess)  # pre-ICP pose for debug
+        # clouds (reference update_icp_debug_clouds, PangolinViewer.h:137)
         timing.icp_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()

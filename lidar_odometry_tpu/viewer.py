@@ -118,6 +118,21 @@ def export_state(out_dir: str, estimator) -> None:
     np.savetxt(os.path.join(out_dir, "surfels.csv"), surf, delimiter=",",
                header="cx,cy,cz,nx,ny,nz,planarity")
 
+    # Pre/post-ICP debug clouds of the last processed frame (the
+    # reference viewer's update_icp_debug_clouds, PangolinViewer.h:137):
+    # the same feature cloud transformed by the constant-velocity guess
+    # vs the ICP-refined pose, for inspecting the last alignment.
+    if (getattr(estimator, "_last_icp_guess", None) is not None
+            and estimator._last_feat is not None):
+        feat = np.asarray(estimator._last_feat)
+        mask = np.asarray(estimator._last_mask, bool)
+        pts = feat[mask]
+        h = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        pre = (h @ estimator._last_icp_guess.T)[:, :3]
+        post = (h @ estimator.T_current.T)[:, :3]
+        save_ply(os.path.join(out_dir, "debug_pre_icp.ply"), pre)
+        save_ply(os.path.join(out_dir, "debug_post_icp.ply"), post)
+
     render_snapshot(os.path.join(out_dir, "snapshot.png"),
                     map_points=estimator.map_points(), trajectory=traj,
                     keyframe_positions=kf_pos)

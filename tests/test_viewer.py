@@ -56,6 +56,10 @@ def test_export_state(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(surf[:, 3:6], axis=1), 1.0,
                                atol=1e-3)
     assert np.all(surf[:, 6] >= 0.0)
+    # pre/post-ICP debug clouds of the last frame (reference
+    # update_icp_debug_clouds): both exist and differ by the ICP refine
+    assert os.path.isfile(os.path.join(out, "debug_pre_icp.ply"))
+    assert os.path.isfile(os.path.join(out, "debug_post_icp.ply"))
     est.shutdown()
 
 
