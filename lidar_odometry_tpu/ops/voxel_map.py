@@ -374,32 +374,51 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
     cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
 
-    ev_list, _ = _compact(cand_evict, evict_list)
-    ev_ok = ev_list >= 0
-    evp = jnp.clip(ev_list, 0, c1 - 1)
-    ev_rows = (evp[:, None] * NCH
-               + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
-    blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)      # (E, 27, 4)
-    bcnt = blk[..., 0]
-    brv = blk[..., 1:4] - bcnt[..., None] * sensor_pos[None, None, :]
-    bd2c = jnp.sum(brv * brv, axis=-1)
-    bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
+    # The compaction + block-gather + zeroing machinery below costs a
+    # few ms even when NOTHING evicts (it is shape-bound, not
+    # data-bound), while most updates on a bounded trajectory evict
+    # nothing — so it runs under a cond on the exact candidate mask.
+    # The no-evict branch's identity cost is one pass over the carried
+    # buffers (~0.2 ms at bench capacity), 10x cheaper than the
+    # machinery.
+    def do_evict(args):
+        l0_data, l1_meta, n_l0 = args
+        ev_list, _ = _compact(cand_evict, evict_list)
+        ev_ok = ev_list >= 0
+        evp = jnp.clip(ev_list, 0, c1 - 1)
+        ev_rows = (evp[:, None] * NCH
+                   + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
+        blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)   # (E, 27, 4)
+        bcnt = blk[..., 0]
+        brv = blk[..., 1:4] - bcnt[..., None] * sensor_pos[None, None, :]
+        bd2c = jnp.sum(brv * brv, axis=-1)
+        bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
 
-    # zero evicted child rows via a compacted address list (bounded by
-    # ch_cap; the per-parent decrement matches exactly what was zeroed,
-    # so deferred children evict next update)
-    bev_flat = bev.reshape(-1)
-    kept_flat = bev_flat & (jnp.cumsum(bev_flat.astype(jnp.int32)) <= ch_cap)
-    kept = kept_flat.reshape(evict_list, NCH)
-    ch_idx, _ = _compact(kept_flat, ch_cap)
-    ch_ok = ch_idx >= 0
-    ch_addr = ev_rows[jnp.clip(ch_idx, 0, evict_list * NCH - 1)]
-    l0_data = _zero_child_rows(l0_data, ch_addr, ch_ok)
-    n_per_par = jnp.sum(kept.astype(jnp.int32), axis=1)
-    l1_meta = l1_meta.at[jnp.where(ev_ok, evp, c1), 2].add(
-        -n_per_par, mode="drop", unique_indices=True)
-    n_l0 = n_l0 - jnp.sum(kept_flat.astype(jnp.int32))
-    evpar = jnp.where(ev_ok & (n_per_par > 0), evp, -1)
+        # zero evicted child rows via a compacted address list (bounded
+        # by ch_cap; the per-parent decrement matches exactly what was
+        # zeroed, so deferred children evict next update)
+        bev_flat = bev.reshape(-1)
+        kept_flat = bev_flat & (jnp.cumsum(bev_flat.astype(jnp.int32))
+                                <= ch_cap)
+        kept = kept_flat.reshape(evict_list, NCH)
+        ch_idx, _ = _compact(kept_flat, ch_cap)
+        ch_ok = ch_idx >= 0
+        ch_addr = ev_rows[jnp.clip(ch_idx, 0, evict_list * NCH - 1)]
+        l0_data = _zero_child_rows(l0_data, ch_addr, ch_ok)
+        n_per_par = jnp.sum(kept.astype(jnp.int32), axis=1)
+        l1_meta = l1_meta.at[jnp.where(ev_ok, evp, c1), 2].add(
+            -n_per_par, mode="drop", unique_indices=True)
+        n_l0 = n_l0 - jnp.sum(kept_flat.astype(jnp.int32))
+        evpar = jnp.where(ev_ok & (n_per_par > 0), evp, -1)
+        return l0_data, l1_meta, n_l0, evpar
+
+    def no_evict(args):
+        l0_data, l1_meta, n_l0 = args
+        return (l0_data, l1_meta, n_l0,
+                jnp.full((evict_list,), -1, jnp.int32))
+
+    l0_data, l1_meta, n_l0, evpar = jax.lax.cond(
+        jnp.any(cand_evict), do_evict, no_evict, (l0_data, l1_meta, n_l0))
 
     # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size

@@ -157,20 +157,39 @@ def main():
 
             return jax.lax.fori_loop(0, ICP_ITERS, it, T)
 
+        @jax.jit
+        def steady_chain(st):
+            # re-insert already-seen scans on the warm map: n_new ~ 0, so
+            # the update takes the small tier — the steady-state (revisit)
+            # regime, vs upd_chain's march into fresh territory (bulk)
+            def step(st, xs):
+                p, m, sp = xs
+                return vm.update_map(st, p, m, sp, 120.0, voxel_size=0.5,
+                                     planarity_threshold=0.1), 0
+            st, _ = jax.lax.scan(step, st, (P_all[8:8 + K], M_all[8:8 + K],
+                                            SP_all[8:8 + K]))
+            return st
+
         st = build24(vm.empty_map(c0, c1))
         jax.block_until_ready(st)
         t_upd = device_time_ms(upd_chain, st, n=4) / K / 1e3
+        t_upd_steady = device_time_ms(steady_chain, st, n=4) / K / 1e3
         T0 = jnp.asarray(poses[40], jnp.float32)
         t_icp = device_time_ms(icp_chain, st, T0, n=4) / ICP_ITERS / 1e3
         st = upd_chain(st)  # advance for the reported n_l0
 
         if S == 1:
             t1_update, t1_icp = t_upd, t_icp
+            t1_steady = t_upd_steady
         # per-frame shard work at KITTI cadence: ICP_ITERS iterations +
         # update on every 4th frame (keyframe every ~1 m at 0.25 m steps)
         t_frame_S = ICP_ITERS * (t_icp + T_COMM_S) + (t_upd / 4.0)
         t_frame_1 = ICP_ITERS * t1_icp + (t1_update / 4.0)
         eff = t_frame_1 / (S * t_frame_S)
+        # same, for the steady-state (revisit) update regime
+        t_frame_S_st = ICP_ITERS * (t_icp + T_COMM_S) + (t_upd_steady / 4.0)
+        t_frame_1_st = ICP_ITERS * t1_icp + (t1_steady / 4.0)
+        eff_steady = t_frame_1_st / (S * t_frame_S_st)
         # weak scaling: hold per-shard shapes at the S=1 operating point
         # (C0_TOTAL slots, full scan) and let S scale the TOTAL map S-x —
         # per-shard compute is then the S=1 measurement by construction,
@@ -180,15 +199,18 @@ def main():
                                 + t1_update / 4.0)
         results[str(S)] = {
             "per_shard_update_ms": round(t_upd * 1e3, 2),
+            "per_shard_update_steady_ms": round(t_upd_steady * 1e3, 2),
             "per_shard_icp_iter_ms": round(t_icp * 1e3, 3),
             "owned_point_cap": cap,
             "l0_capacity": c0,
             "map_axis_efficiency": round(eff, 3),
+            "map_axis_efficiency_steady": round(eff_steady, 3),
             "weak_scaling_efficiency": round(eff_weak, 3),
             "n_l0": int(np.asarray(st.n_l0)),
         }
-        print(f"# S={S}: update={t_upd*1e3:.2f}ms icp_iter={t_icp*1e3:.3f}ms "
-              f"cap={cap} eff={eff:.3f}", file=sys.stderr)
+        print(f"# S={S}: update={t_upd*1e3:.2f}ms "
+              f"steady={t_upd_steady*1e3:.2f}ms icp_iter={t_icp*1e3:.3f}ms "
+              f"cap={cap} eff={eff:.3f}/{eff_steady:.3f}", file=sys.stderr)
 
     out = {
         "kind": "multichip_scaling",
@@ -207,7 +229,11 @@ def main():
         "results": results,
         "note": ("map_axis_efficiency is STRONG scaling: a fixed-size "
                  "problem split S ways (per-shard shapes shrink, so "
-                 "fixed per-op latency floors bite at high S). "
+                 "fixed per-op latency floors bite at high S); the "
+                 "_steady variant uses the revisit-regime update "
+                 "(already-mapped territory, the dominant case on a "
+                 "looping trajectory) while the headline uses the "
+                 "fresh-territory (bulk insert) regime. "
                  "weak_scaling_efficiency is the deployment story for a "
                  "sharded map: S chips hold an S-x larger map/environment "
                  "at constant per-shard shapes; the only added cost vs "
