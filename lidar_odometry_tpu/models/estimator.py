@@ -36,6 +36,7 @@ from ..ops import icp, knn, pko, voxel_filter, voxel_map as vm
 from ..utils import lie
 from ..utils import logging_util as log
 from .loop_closure import LoopCandidate, LoopClosureConfig, LoopClosureDetector
+from .map_backend import SingleChipMapBackend
 from .pose_graph import PoseGraphOptimizer
 
 __all__ = ["Estimator", "KeyframeRecord", "FrameRecord", "TimingStats"]
@@ -82,9 +83,16 @@ class PGOResult:
 
 
 class Estimator:
-    def __init__(self, config: SystemConfig, sync_loop: bool = False):
+    def __init__(self, config: SystemConfig, sync_loop: bool = False,
+                 map_backend=None):
+        """`map_backend` selects the device-side map implementation
+        (models/map_backend.py): None/default = single-chip; a
+        ShardedMapBackend runs the same front door with the map sharded
+        over a device mesh and ICP/updates distributed (BASELINE
+        config 5). Everything host-side is backend-agnostic."""
         self.cfg = config
         self.sync_loop = sync_loop
+        self.backend = map_backend or SingleChipMapBackend(config)
 
         self.icp_cfg = icp.ICPConfig(
             max_iterations=config.max_iterations,
@@ -106,7 +114,7 @@ class Estimator:
             config.pko_kernel_type, config.gmm_components,
             config.gmm_sample_size)
 
-        self.map_state = vm.empty_map(config.map_l0_capacity, config.map_l1_capacity)
+        self.map_state = self.backend.empty()
         self.pose_graph = PoseGraphOptimizer(
             backend=("distributed" if config.pgo_backend == "distributed"
                      else "manual"))
@@ -186,7 +194,7 @@ class Estimator:
         # ICP with constant-velocity initial guess (Estimator.cpp:154-155)
         t0 = time.perf_counter()
         guess = jnp.asarray(self._prev_pose) @ jnp.asarray(self.velocity)
-        T_dev, success, n_corr = icp.icp_optimize(
+        T_dev, success, n_corr = self.backend.icp_optimize(
             self.map_state, feat, mask, guess, self.pko_consts, self.icp_cfg)
         T_new = np.asarray(T_dev)
         self._last_icp_guess = np.asarray(guess)  # pre-ICP pose for debug
@@ -312,13 +320,8 @@ class Estimator:
             # Map update with world-frame features (Estimator.cpp:449-457)
             world = lie.transform_points(jnp.asarray(pose), feat)
             sensor = jnp.asarray(pose[:3, 3])
-            self.map_state = vm.update_map(
-                self.map_state, world, mask, sensor,
-                self.cfg.max_range * 1.2,
-                voxel_size=self.cfg.map_voxel_size,
-                planarity_threshold=self.cfg.surfel_planarity_threshold,
-                hierarchy_factor=self.cfg.derived_hierarchy_factor(),
-                compute_surfels=self.cfg.use_surfel_correspondence)
+            self.map_state = self.backend.update(
+                self.map_state, world, mask, sensor, self.cfg.max_range * 1.2)
             # (KDTree mode needs no rebuild: the hash index IS the tree.)
 
         self.last_keyframe_pose = pose
@@ -370,6 +373,11 @@ class Estimator:
         from . import fast_pipeline as fp
 
         t_start = time.perf_counter()
+        if self.backend.name != "single":
+            raise NotImplementedError(
+                "process_chunk (the fused single-chip fast path) requires "
+                "the single-chip backend; the sharded backend runs the "
+                "per-frame front door (process_frame)")
         if self._chunk_runner is None:
             self._chunk_runner = fp.make_chunk_runner(
                 self.icp_cfg, self.pko_consts,
@@ -592,11 +600,8 @@ class Estimator:
                     break
         self._propagate_poses_after_pgo(last_id)
         # Map correction (Estimator.cpp:1181)
-        self.map_state = vm.transform_and_rehash(
-            self.map_state, jnp.asarray(result.last_kf_correction),
-            voxel_size=self.cfg.map_voxel_size,
-            planarity_threshold=self.cfg.surfel_planarity_threshold,
-            hierarchy_factor=self.cfg.derived_hierarchy_factor())
+        self.map_state = self.backend.rehash(
+            self.map_state, result.last_kf_correction)
         self.last_successful_loop_kf_id = last_id
         # Re-base the live pose estimate onto the corrected world frame so
         # the next ICP guess matches the rehashed map.

@@ -129,6 +129,7 @@ def sharded_update_map(state: vm.VoxelMapState, pts: jax.Array,
                        mask: jax.Array, sensor_pos: jax.Array,
                        max_distance, mesh: Mesh, *, voxel_size,
                        planarity_threshold, hierarchy_factor: int = 3,
+                       compute_surfels: bool = True,
                        mesh_axis: str = "map") -> vm.VoxelMapState:
     """Distributed UpdateVoxelMap: every shard compacts its owned subset
     of the (replicated) scan to an O(scan/S) buffer and runs the
@@ -146,7 +147,8 @@ def sharded_update_map(state: vm.VoxelMapState, pts: jax.Array,
         out = vm.update_map(_local_view(st), p_own, ok, spos, max_distance,
                             voxel_size=voxel_size,
                             planarity_threshold=planarity_threshold,
-                            hierarchy_factor=hierarchy_factor)
+                            hierarchy_factor=hierarchy_factor,
+                            compute_surfels=compute_surfels)
         return _wrap_scalars(out)
 
     specs = map_specs(mesh_axis)
