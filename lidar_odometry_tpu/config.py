@@ -86,6 +86,12 @@ class SystemConfig:
     min_keyframe_gap: int = 50
     max_search_distance: float = 5.0
     enable_debug_output: bool = False
+    # Coarse loop pre-alignment (ops/bev_align.py): the reference's loop
+    # ICP searches an UNBOUNDED KD-tree (IterativeClosestPointOptimizer
+    # .cpp:465-585); the TPU grid search is bounded, so an Iris-bias yaw +
+    # BEV phase-correlation initializer restores the multi-metre drift
+    # envelope. No reference YAML key (TPU-specific).
+    loop_prealign: bool = True
 
     # --- pose_graph_optimization ---
     enable_pgo: bool = True

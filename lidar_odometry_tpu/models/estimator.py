@@ -527,11 +527,22 @@ class Estimator:
         table = knn.build_point_table(
             matched_world, jnp.asarray(matched_kf.feature_mask),
             bin_size=self.cfg.voxel_size * 4.0)
+        # Coarse pre-alignment (Iris yaw bias + BEV phase correlation):
+        # starts the bounded fine search inside its envelope even after
+        # multi-metre drift (the reference compensates with an unbounded
+        # KD-tree search instead, IterativeClosestPointOptimizer.cpp:465).
+        T_start = None
+        if self.cfg.loop_prealign:
+            from ..ops import bev_align
+            T_start = jnp.asarray(bev_align.prealign_pose(
+                current_pose, matched_pose, candidate.bias,
+                current_kf.feature_cloud, current_kf.feature_mask,
+                np.asarray(matched_world), matched_kf.feature_mask))
         T_rel_dev, success, inlier_ratio = icp.icp_optimize_loop(
             jnp.asarray(current_kf.feature_cloud),
             jnp.asarray(current_kf.feature_mask),
             jnp.asarray(current_pose),
-            table, self.pko_consts, self.icp_cfg)
+            table, self.pko_consts, self.icp_cfg, T_init=T_start)
         if not bool(success):
             log.warn("[Background] Loop ICP failed {} <-> {}",
                      candidate.query_keyframe_id, candidate.match_keyframe_id)

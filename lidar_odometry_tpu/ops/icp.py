@@ -27,6 +27,7 @@ the solve and the caller falls back to the initial guess
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import flax.struct
 import jax
@@ -236,7 +237,8 @@ def icp_optimize(map_state: vm.VoxelMapState, pts: jax.Array, mask: jax.Array,
 def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
                       T_curr: jax.Array, matched_table: knn.PointTable,
                       pko_consts: pko.PKOConstants, cfg: ICPConfig,
-                      *, max_loop_iterations: int = 100,
+                      *, T_init: Optional[jax.Array] = None,
+                      max_loop_iterations: int = 100,
                       search_radius: int = 2, bucket_width: int = 16,
                       bin_scale: float = 4.0):
     """Loop-closure ICP (reference optimize_loop, :40-251): optimize the
@@ -247,10 +249,16 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
 
     `matched_table` must be built with bin_size = cfg.voxel_size*bin_scale
     (coarser bins + wider radius cover the multi-meter drift typical at
-    loop closure; the reference's KD-tree search is unbounded).
-    Returns (T_relative = T_curr^-1 T_opt, success, inlier_ratio).
+    loop closure; the reference's KD-tree search is unbounded — beyond the
+    bounded envelope, pass a coarse pre-alignment as `T_init`
+    (ops/bev_align.prealign_pose) to start inside it).
+    Returns (T_relative = T_curr^-1 T_opt, success, inlier_ratio), with
+    the relative transform ALWAYS based at T_curr regardless of T_init
+    (reference :205-209 bases it at the original pose).
     """
     bin_size = cfg.voxel_size * bin_scale
+    if T_init is None:
+        T_init = T_curr
 
     def body(carry):
         i, T, done, scale, converged_flag = carry
@@ -284,7 +292,7 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
         i, _T, done, _scale, _conv = carry
         return (i < max_loop_iterations) & ~done
 
-    init = (jnp.int32(0), T_curr, jnp.bool_(False), jnp.float32(1.0),
+    init = (jnp.int32(0), T_init, jnp.bool_(False), jnp.float32(1.0),
             jnp.bool_(False))
     _, T_opt, _, _, converged = jax.lax.while_loop(cond, body, init)
 
