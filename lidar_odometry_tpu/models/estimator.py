@@ -365,12 +365,26 @@ class Estimator:
              jnp.zeros((rows.shape[1] - 48,), f32)])[None, :]
         return jnp.concatenate([rows, tail], axis=0)
 
-    def process_chunk(self, raw_scans: np.ndarray) -> bool:
+    def process_chunk(self, raw_scans: np.ndarray,
+                      sample_stages: bool = False) -> bool:
         """Process (F, N, 3) scans in one device dispatch. Pad slots must
         be NaN. Semantically equivalent to F process_frame calls with loop
         detection deferred to the chunk boundary (the background thread is
-        at keyframe-latency anyway, reference Estimator.cpp:890-913)."""
+        at keyframe-latency anyway, reference Estimator.cpp:890-913).
+
+        With sample_stages=True the FIRST frame runs through the
+        per-frame path instead (identical semantics, three separate
+        dispatches), which records the preprocess/ICP/map-update stage
+        breakdown the reference prints every 100 frames
+        (Estimator.cpp:1307-1355) — the fused dispatch can only time the
+        whole chunk. Callers sample every Nth chunk so the stage table
+        stays populated at a few % overhead (see print_timing_statistics,
+        which aggregates stage rows over the sampled frames only)."""
         from . import fast_pipeline as fp
+
+        if sample_stages and len(raw_scans) > 1:
+            self.process_frame(raw_scans[0])
+            raw_scans = raw_scans[1:]
 
         t_start = time.perf_counter()
         if self.backend.name != "single":
@@ -454,8 +468,15 @@ class Estimator:
         # (the packed tail holds the exact device value — no extra fetch)
         self.last_keyframe_pose = tail[32:48].reshape(4, 4).copy()
 
-        timing = TimingStats(total_ms=(time.perf_counter() - t_start) * 1e3)
-        self.timing_history.append(timing)
+        # one history entry PER FRAME (total = chunk wall / frames) so the
+        # "last 100 frames" window of the stats table stays frame-denominated
+        chunk_ms = (time.perf_counter() - t_start) * 1e3
+        n = max(len(poses), 1)
+        self.timing_history.extend(
+            TimingStats(total_ms=chunk_ms / n) for _ in range(n))
+        if (self.cfg.enable_console_statistics
+                and self.frame_count % 100 < n):
+            self.print_timing_statistics()
         return True
 
     # ------------------------------------------------------------------
@@ -771,19 +792,31 @@ class Estimator:
             self.print_timing_statistics()
 
     def print_timing_statistics(self):
+        """The reference's per-stage table (Estimator.cpp:1307-1355).
+        Stage rows aggregate only entries that HAVE a stage breakdown —
+        in fused-chunk runs those are the frames sampled through the
+        per-frame path (process_chunk sample_stages); chunk totals feed
+        the Total row as per-frame averages."""
         if not self.timing_history:
             return
         hist = self.timing_history[-100:]
+
         def stats(vals):
+            if not vals:
+                return (0.0, 0.0, 0.0)
             return (sum(vals) / len(vals), min(vals), max(vals))
+
+        staged = [t for t in hist if t.preprocessing_ms > 0.0
+                  or t.icp_ms > 0.0]
         rows = [
-            ("Preprocess", stats([t.preprocessing_ms for t in hist])),
-            ("ICP", stats([t.icp_ms for t in hist])),
-            ("Map Update", stats([t.map_update_ms for t in hist])),
+            ("Preprocess", stats([t.preprocessing_ms for t in staged])),
+            ("ICP", stats([t.icp_ms for t in staged])),
+            ("Map Update", stats([t.map_update_ms for t in staged])),
             ("Total", stats([t.total_ms for t in hist])),
         ]
         log.info("=" * 60)
-        log.info("[Timing Stats] Frame {} (last {} frames)", self.frame_count, len(hist))
+        log.info("[Timing Stats] Frame {} (last {} frames, {} staged)",
+                 self.frame_count, len(hist), len(staged))
         log.info("{:<13s}|   Avg (ms)  |   Min (ms)  |   Max (ms)", "")
         for name, (avg, mn, mx) in rows:
             log.info(" {:<12s}| {:>10.2f}  | {:>10.2f}  | {:>10.2f}", name, avg, mn, mx)

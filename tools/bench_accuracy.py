@@ -141,8 +141,11 @@ def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True):
     est = Estimator(cfg)  # async loop/PGO worker, like production
     t0 = time.perf_counter()
     if use_chunks:
-        for c in range(0, len(scans), CHUNK):
-            est.process_chunk(scans[c:c + CHUNK])
+        for i, c in enumerate(range(0, len(scans), CHUNK)):
+            # every 5th chunk samples its first frame through the
+            # per-frame path so the reference's stage table stays
+            # populated (Estimator.cpp:1307-1355)
+            est.process_chunk(scans[c:c + CHUNK], sample_stages=(i % 5 == 0))
     else:
         for s in scans:
             est.process_frame(s, n_points=len(s))
