@@ -108,6 +108,13 @@ class SystemConfig:
     error_summary_format: str = "clean"
 
     # --- TPU capacities (no reference analog: static shapes for jit) ---
+    # Sharded-map deployment: batch K keyframe updates into one per-shard
+    # dispatch (models/map_backend.ShardedMapBackend). K=1 matches the
+    # reference's update-at-every-keyframe exactly; K=4 amortizes the
+    # small-op latency floors that cap strong scaling at high shard
+    # counts (SCALING.json), at the cost of lookups lagging <= K-1
+    # keyframes behind.
+    sharded_update_batch: int = 1
     scan_capacity: int = 16384           # padded feature-cloud size per scan
     map_l0_capacity: int = 262144        # L0 voxel table slots
     map_l1_capacity: int = 65536         # L1 surfel table slots

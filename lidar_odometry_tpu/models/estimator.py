@@ -539,31 +539,27 @@ class Estimator:
             current_pose = current_kf.stored_pose.copy()
             matched_pose = matched_kf.stored_pose.copy()
 
-        # Loop ICP against the matched keyframe's world-frame feature cloud
-        # (reference optimize_loop builds exactly this target,
-        # IterativeClosestPointOptimizer.cpp:59-64).
-        matched_world = lie.transform_points(
-            jnp.asarray(matched_pose),
-            jnp.asarray(matched_kf.feature_cloud))
-        table = knn.build_point_table(
-            matched_world, jnp.asarray(matched_kf.feature_mask),
-            bin_size=self.cfg.voxel_size * 4.0)
-        # Coarse pre-alignment (Iris yaw bias + BEV phase correlation):
-        # starts the bounded fine search inside its envelope even after
-        # multi-metre drift (the reference compensates with an unbounded
-        # KD-tree search instead, IterativeClosestPointOptimizer.cpp:465).
-        T_start = None
-        if self.cfg.loop_prealign:
-            from ..ops import bev_align
-            T_start = jnp.asarray(bev_align.prealign_pose(
-                current_pose, matched_pose, candidate.bias,
-                current_kf.feature_cloud, current_kf.feature_mask,
-                np.asarray(matched_world), matched_kf.feature_mask))
-        T_rel_dev, success, inlier_ratio = icp.icp_optimize_loop(
+        # The whole loop-closure geometry — matched keyframe world cloud +
+        # bin table (reference optimize_loop builds exactly this target,
+        # IterativeClosestPointOptimizer.cpp:59-64), coarse pre-alignment
+        # (Iris yaw bias + BEV phase correlation, restoring the envelope
+        # the reference gets from its unbounded KD-tree search), and the
+        # bounded fine ICP with inlier validation — runs as ONE fused
+        # dispatch with ONE packed fetch: the background worker's host
+        # round trips are what steal device time from the odometry stream.
+        packed = np.asarray(icp.loop_closure_solve(
             jnp.asarray(current_kf.feature_cloud),
             jnp.asarray(current_kf.feature_mask),
             jnp.asarray(current_pose),
-            table, self.pko_consts, self.icp_cfg, T_init=T_start)
+            jnp.asarray(matched_kf.feature_cloud),
+            jnp.asarray(matched_kf.feature_mask),
+            jnp.asarray(matched_pose),
+            jnp.float32(candidate.bias),
+            self.pko_consts, self.icp_cfg,
+            prealign=self.cfg.loop_prealign))
+        T_rel_dev = packed[:16].reshape(4, 4)
+        success = packed[16] > 0.5
+        inlier_ratio = packed[17]
         if not bool(success):
             log.warn("[Background] Loop ICP failed {} <-> {}",
                      candidate.query_keyframe_id, candidate.match_keyframe_id)
@@ -768,6 +764,9 @@ class Estimator:
         players that save trajectories get the same effect from the final
         `get_pose()` reads happening after the bg thread caught up."""
         self.shutdown()
+        # batched sharded backends may hold pending keyframe inserts
+        if hasattr(self.backend, "flush"):
+            self.map_state = self.backend.flush(self.map_state)
         pending = None
         with self._query_cv:
             if self._query_queue:

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import icp as icp_ops
 from ..ops import pko as pko_ops
@@ -29,7 +30,8 @@ from ..ops import voxel_map as vm
 from ..utils import lie
 
 __all__ = ["OdomCarry", "init_carry", "make_chunk_runner",
-           "init_batched_carry", "make_batched_chunk_runner"]
+           "init_batched_carry", "make_batched_chunk_runner",
+           "init_blocked_carry", "make_blocked_runner"]
 
 
 class OdomCarry(NamedTuple):
@@ -86,7 +88,7 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
     # 2-operand sort is measurably cheaper than the generic 3-operand one
     compact = vf.compact_keys_ok(scan_voxel_size, 200.0)
 
-    def pre(carry: OdomCarry, raw_scan):
+    def pre(carry: OdomCarry, raw_scan, home=None):
         feat, mask, _ = vf.voxel_filter(
             raw_scan, jnp.int32(raw_scan.shape[0]),
             voxel_size=scan_voxel_size, stride=point_stride,
@@ -95,7 +97,10 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
         guess = carry.T_prev @ carry.velocity
         T_icp, success, n_corr = icp_ops.icp_optimize(
             carry.map_state, feat, mask, guess, pko_consts, icp_cfg)
-        eye = jnp.eye(4, dtype=jnp.float32)
+        # `home` (blocked multi-sequence runner) is the lane's world
+        # origin — lanes live at disjoint coordinate offsets in the
+        # shared map
+        eye = jnp.eye(4, dtype=jnp.float32) if home is None else home
         # Re-orthonormalize the rotation once per frame: the velocity-model
         # recursion T_prev @ inv(T_prev2) @ T_prev SQUARES any shear in R
         # (se3_inv assumes orthogonality), which otherwise compounds
@@ -105,7 +110,8 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
         T = jnp.where(carry.initialized, T_icp, eye)
 
         velocity = jnp.where(carry.initialized,
-                             lie.se3_inv(carry.T_prev) @ T, eye)
+                             lie.se3_inv(carry.T_prev) @ T,
+                             jnp.eye(4, dtype=jnp.float32))
 
         # Keyframe decision (reference should_create_keyframe,
         # Estimator.cpp:349-368)
@@ -169,6 +175,116 @@ def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstant
         return new_carry, out
 
     return frame_step
+
+
+def init_blocked_carry(batch: int, c0: int, c1: int,
+                       lane_spacing_m: float = 1024.0) -> OdomCarry:
+    """Carry for the blocked shared-map runner: ONE map (size it B-x the
+    single-sequence capacity), per-lane pose state starting at each
+    lane's coordinate offset."""
+    homes = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    homes[:, 0, 3] = np.arange(batch, dtype=np.float32) * lane_spacing_m
+    return OdomCarry(
+        map_state=vm.empty_map(c0, c1),
+        T_prev=jnp.asarray(homes),
+        velocity=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                  (batch, 4, 4)).copy(),
+        last_kf_pose=jnp.asarray(homes.copy()),
+        initialized=jnp.zeros((batch,), bool),
+        kf_count=jnp.zeros((batch,), jnp.int32))
+
+
+def make_blocked_runner(icp_cfg: icp_ops.ICPConfig,
+                        pko_consts: pko_ops.PKOConstants, *,
+                        batch: int, block: int = 4,
+                        lane_spacing_m: float = 1024.0, **kw):
+    """Multi-sequence throughput v3: B independent sequences share ONE
+    voxel map at disjoint coordinate offsets (lane b's world shifts by
+    b*lane_spacing_m in x — far beyond the eviction radius, so lanes
+    never interact; eviction tests min distance over the B lane sensors,
+    ops/voxel_map.update_map multi-sensor support).
+
+    This kills both costs that made the round-2 per-lane-map design
+    UNPROFITABLE (363 vs ~500 scans/s single-stream):
+      * per-lane map copies — the lane scan's xs/ys could not alias B
+        map states through the per-lane conds, so every lane paid a full
+        map copy per frame; one shared map is ONE carry buffer that
+        donates/aliases exactly like single-stream;
+      * conditional identity branches — there is NO keyframe cond at
+        all: frames process in blocks of `block`, and each block ends
+        with ONE unconditional masked update inserting every lane's
+        keyframe features (masked per lane-frame). Fixed per-op costs
+        (sorts, compactions, scatter setup) amortize over block*B
+        keyframe slots. Lookups lag keyframes by <= block-1 frames (the
+        same bounded-staleness trade as the sharded update_batch;
+        accuracy bound proven in tests/test_fast_pipeline.py).
+
+    chunk(carry, scans (B, F, N, 3)) -> (carry, (poses (B, F, 4, 4),
+    is_kf (B, F), n_corr (B, F))), poses reported with lane offsets
+    removed. F must be a multiple of `block`.
+    """
+    max_distance = kw["max_distance"]
+    planarity_threshold = kw["planarity_threshold"]
+    pre, _, _ = _make_parts(icp_cfg, pko_consts, **kw)
+    offs = np.zeros((batch, 3), np.float32)
+    offs[:, 0] = np.arange(batch) * lane_spacing_m
+    offs_j = jnp.asarray(offs)
+    homes = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    homes[:, :3, 3] = offs
+    homes_j = jnp.asarray(homes)
+
+    lane_axes = OdomCarry(map_state=None, T_prev=0, velocity=0,
+                          last_kf_pose=0, initialized=0, kf_count=0)
+
+    def block_body(carry: OdomCarry, scans_blk):
+        # scans_blk (block, B, N, 3); frames stay sequential, lanes vmap
+        outs = []
+        ins_pts, ins_msk = [], []
+        for j in range(block):
+            T, vel, is_kf, n_corr, feat, mask = jax.vmap(
+                pre, in_axes=(lane_axes, 0, 0))(carry, scans_blk[j],
+                                                homes_j)
+            carry = OdomCarry(
+                map_state=carry.map_state, T_prev=T, velocity=vel,
+                last_kf_pose=jnp.where(is_kf[:, None, None], T,
+                                       carry.last_kf_pose),
+                initialized=jnp.ones_like(carry.initialized),
+                kf_count=carry.kf_count + is_kf.astype(jnp.int32))
+            # keyframe features in (offset) world frame, masked per lane
+            world = jax.vmap(lie.transform_points)(T, feat)
+            ins_pts.append(world)
+            ins_msk.append(mask & is_kf[:, None])
+            T_out = T.at[:, :3, 3].add(-offs_j)      # report true poses
+            outs.append((T_out, is_kf, n_corr))
+
+        # ONE unconditional masked update per block: no cond, no copy
+        pts_all = jnp.concatenate(ins_pts).reshape(-1, 3)
+        msk_all = jnp.concatenate(ins_msk).reshape(-1)
+        sensors = carry.T_prev[:, :3, 3]             # (B, 3) lane sensors
+        map_state = vm.update_map(
+            carry.map_state, pts_all, msk_all, sensors,
+            jnp.float32(max_distance),
+            voxel_size=icp_cfg.voxel_size,
+            planarity_threshold=planarity_threshold,
+            hierarchy_factor=icp_cfg.hierarchy_factor)
+        carry = carry._replace(map_state=map_state)
+        T_s = jnp.stack([o[0] for o in outs])        # (block, B, 4, 4)
+        kf_s = jnp.stack([o[1] for o in outs])
+        nc_s = jnp.stack([o[2] for o in outs])
+        return carry, (T_s, kf_s, nc_s)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def chunk(carry: OdomCarry, scans):
+        b, f, n, _ = scans.shape
+        blk = jnp.swapaxes(scans, 0, 1).reshape(f // block, block, b, n, 3)
+        carry, (T, kf, nc) = jax.lax.scan(block_body, carry, blk)
+        # (F/block, block, B, ...) -> (B, F, ...)
+        def fix(a):
+            a = a.reshape((f,) + a.shape[2:])
+            return jnp.moveaxis(a, 1, 0)
+        return carry, (fix(T), fix(kf), fix(nc))
+
+    return chunk
 
 
 def init_batched_carry(batch: int, c0: int, c1: int) -> OdomCarry:

@@ -122,7 +122,8 @@ class ShardedMapBackend:
 
     name = "sharded"
 
-    def __init__(self, config, mesh, mesh_axis: str = "map"):
+    def __init__(self, config, mesh, mesh_axis: str = "map",
+                 update_batch: int = None):
         if not config.use_surfel_correspondence:
             raise ValueError(
                 "ShardedMapBackend requires use_surfel_correspondence=True")
@@ -134,6 +135,16 @@ class ShardedMapBackend:
         self.cfg = config
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # Batching K keyframe updates into one dispatch amortizes the
+        # per-op latency floors that dominate the per-shard update at
+        # small O(scan/S) shapes (the strong-scaling blocker measured in
+        # SCALING.json round 2: a steady S=8 shard update is ~1.2 ms of
+        # which ~0.8 ms is fixed small-op latency). The map lags lookups
+        # by at most K-1 keyframes; evictions defer the same way they
+        # already do under the bounded caps (delayed, never lost).
+        self.update_batch = (update_batch if update_batch is not None
+                             else getattr(config, "sharded_update_batch", 1))
+        self._pend = []       # [(world_pts, mask)] device arrays
 
     def empty(self) -> vm.VoxelMapState:
         from ..parallel import sharded_map as sm
@@ -145,7 +156,8 @@ class ShardedMapBackend:
         return _sharded_icp_jit(state, pts, mask, T_init, self.mesh,
                                 icp_cfg, pko_consts, self.mesh_axis)
 
-    def update(self, state, world_pts, mask, sensor_pos, max_distance):
+    def _dispatch_update(self, state, world_pts, mask, sensor_pos,
+                         max_distance):
         return _sharded_update_jit(
             state, world_pts, mask, sensor_pos,
             jnp.asarray(max_distance, jnp.float32), self.mesh,
@@ -155,7 +167,42 @@ class ShardedMapBackend:
             compute_surfels=self.cfg.use_surfel_correspondence,
             mesh_axis=self.mesh_axis)
 
+    def update(self, state, world_pts, mask, sensor_pos, max_distance):
+        if self.update_batch <= 1:
+            return self._dispatch_update(state, world_pts, mask, sensor_pos,
+                                         max_distance)
+        self._pend.append((jnp.asarray(world_pts), jnp.asarray(mask),
+                           jnp.asarray(sensor_pos)))
+        if len(self._pend) < self.update_batch:
+            return state
+        return self._flush_pending(state, max_distance)
+
+    def _flush_pending(self, state, max_distance):
+        k = self.update_batch
+        pend = self._pend + [(self._pend[0][0],
+                              jnp.zeros_like(self._pend[0][1]),
+                              self._pend[-1][2])] * (k - len(self._pend))
+        sensor = pend[-1][2]
+        self._pend = []
+        pts = jnp.concatenate([p for p, _, _ in pend])
+        msk = jnp.concatenate([m for _, m, _ in pend])
+        # eviction radius is taken from the NEWEST keyframe's sensor
+        # position; earlier keyframes' evictions defer exactly as the
+        # bounded caps already defer them (recomputed from live
+        # centroids every update — delayed, never lost)
+        return self._dispatch_update(state, pts, msk, sensor, max_distance)
+
+    def flush(self, state):
+        """Insert any pending batched keyframes now (call before reading
+        the map content, checkpointing, or applying a PGO correction)."""
+        if not self._pend:
+            return state
+        return self._flush_pending(state, self.cfg.max_range * 1.2)
+
     def rehash(self, state, correction):
+        # pending inserts are in the PRE-correction world frame — they
+        # must land before the transform
+        state = self.flush(state)
         return _sharded_rehash_jit(
             state, jnp.asarray(correction), self.mesh,
             voxel_size=self.cfg.map_voxel_size,

@@ -72,6 +72,33 @@ def _yaw_of(R: np.ndarray) -> float:
     return float(np.arctan2(R[1, 0], R[0, 0]))
 
 
+def prealign_pose_jnp(current_pose, matched_pose, bias_deg,
+                      query_cloud, query_mask, matched_world, matched_mask,
+                      *, grid: int = 128, bin_size: float = 1.0):
+    """Device (traceable) version of prealign_pose — composed into the
+    fused loop-closure dispatch (ops/icp.loop_closure_solve) so the whole
+    prealign + ICP pipeline costs ONE host round trip. bias_deg is a
+    traced scalar."""
+    delta = (jnp.mod(bias_deg + 180.0, 360.0) - 180.0) * (jnp.pi / 180.0)
+    yaw_m = jnp.arctan2(matched_pose[1, 0], matched_pose[0, 0])
+    yaw_c = jnp.arctan2(current_pose[1, 0], current_pose[0, 0])
+    dyaw = yaw_m + delta - yaw_c
+    dyaw = jnp.mod(dyaw + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    c, s = jnp.cos(dyaw), jnp.sin(dyaw)
+    Rz = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    Rz = Rz.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
+    R_init = Rz @ current_pose[:3, :3]
+    t_init = current_pose[:3, 3]
+    q_world = query_cloud @ R_init.T + t_init[None, :]
+    off = bev_translation_offset(
+        q_world, query_mask, matched_world, matched_mask,
+        matched_pose[:3, 3], grid=grid, bin_size=bin_size)
+    t_init = t_init.at[:2].add(off)
+    T_init = jnp.eye(4, dtype=jnp.float32)
+    T_init = T_init.at[:3, :3].set(R_init).at[:3, 3].set(t_init)
+    return T_init
+
+
 def prealign_pose(current_pose: np.ndarray, matched_pose: np.ndarray,
                   bias_deg: int, query_cloud, query_mask,
                   matched_world, matched_mask, *, grid: int = 128,

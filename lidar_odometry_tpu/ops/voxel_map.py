@@ -344,12 +344,27 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                planarity_threshold, hierarchy_factor: int = 3,
                compute_surfels: bool = True) -> VoxelMapState:
     """Per-keyframe map update (reference VoxelMap::UpdateVoxelMap,
-    VoxelMap.cpp:128-262) as a sort+gather/scatter program."""
+    VoxelMap.cpp:128-262) as a sort+gather/scatter program.
+
+    `sensor_pos` is (3,) — or (S, 3) for multi-sequence shared maps
+    (models/fast_pipeline blocked runner): eviction then tests the MIN
+    distance over the S sensors, which is exact per-lane semantics when
+    the lanes' regions are separated by more than the eviction radius."""
     c1 = state.l1_meta.shape[0]
     nrows = c1 * NCH
     p = new_pts.shape[0]
     f32 = jnp.float32
     evict_list, ch_cap, small_cap = _scaled_caps(c1, p)
+    sensors = jnp.atleast_2d(sensor_pos)            # (S, 3)
+
+    def min_d2cnt(sum3, cnt):
+        """min_s |sum3 - cnt*s|^2 (divide-free squared distance x cnt^2)."""
+        out = None
+        for si in range(sensors.shape[0]):
+            rv = sum3 - cnt[..., None] * sensors[si]
+            d2 = jnp.sum(rv * rv, axis=-1)
+            out = d2 if out is None else jnp.minimum(out, d2)
+        return out
 
     l0_data = state.l0_data
     l1_index, l1_meta = state.l1_index, state.l1_meta
@@ -368,8 +383,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # candidate list and stall real evictions behind them. ----
     cnt_all = l0_data[:, 0]
     # no divide: |sum/cnt - s|^2 > d^2  <=>  |sum - cnt*s|^2 > d^2*cnt^2
-    rvec = l0_data[:, 1:4] - cnt_all[:, None] * sensor_pos[None, :]
-    d2cnt = jnp.sum(rvec * rvec, axis=-1)
+    d2cnt = min_d2cnt(l0_data[:, 1:4], cnt_all)
     maxd2 = max_distance * max_distance
     ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
     cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
@@ -390,8 +404,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                    + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
         blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)   # (E, 27, 4)
         bcnt = blk[..., 0]
-        brv = blk[..., 1:4] - bcnt[..., None] * sensor_pos[None, None, :]
-        bd2c = jnp.sum(brv * brv, axis=-1)
+        bd2c = min_d2cnt(blk[..., 1:4], bcnt)
         bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
 
         # zero evicted child rows via a compacted address list (bounded

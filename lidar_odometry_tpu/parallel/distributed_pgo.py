@@ -246,6 +246,15 @@ def schur_partitioned_solve(diag, off, b, separators: Sequence[int],
         jnp.asarray(Dint), jnp.asarray(Oint), jnp.asarray(Bint),
         jnp.asarray(Lsep), jnp.asarray(Lleft), jnp.asarray(Uright),
         jnp.asarray(Valid))
+    if mesh is not None:
+        # replicate the shard_map outputs so the host-side reduced solve
+        # can read them on EVERY process (a sharded array is not fully
+        # addressable under multi-process jax.distributed)
+        from jax.sharding import NamedSharding
+        rep = NamedSharding(mesh, P())
+        (S_ll, S_lr, S_rl, S_rr, r_l, r_r, F, G, g) = jax.jit(
+            lambda *a: a, out_shardings=(rep,) * 9)(
+            S_ll, S_lr, S_rl, S_rr, r_l, r_r, F, G, g)
 
     # ---- reduced separator system (replicated; D x 6 dims) ----
     S_ll, S_lr, S_rl, S_rr = map(np.asarray, (S_ll, S_lr, S_rl, S_rr))

@@ -63,6 +63,40 @@ def test_batched_matches_single():
 
 
 @pytest.mark.slow
+def test_blocked_shared_map_runner_tracks():
+    """Blocked multi-sequence mode (ONE shared map at lane offsets, one
+    unconditional masked update per 4-frame block): each lane must track
+    like single-stream, with the block=1 bootstrap covering the empty-map
+    start. Lanes only interact through shared hash buckets, never through
+    geometry."""
+    scans, poses = _data(n_frames=16, seed=5)
+    cfg = icp.ICPConfig(max_iterations=4, voxel_size=0.5)
+    consts = pko.make_pko_constants(0.1, 10.0, 100, 10.0, "huber", 3, 100)
+
+    runner = fp.make_chunk_runner(cfg, consts, **KW)
+    c1 = fp.init_carry(32768, 8192)
+    c1, (ps, kfs, _) = runner(c1, jnp.asarray(scans))
+
+    B = 2
+    boot = fp.make_blocked_runner(cfg, consts, batch=B, block=1, **KW)
+    blocked = fp.make_blocked_runner(cfg, consts, batch=B, block=4, **KW)
+    cb = fp.init_blocked_carry(B, 32768 * B, 8192 * B)
+    both = jnp.asarray(np.stack([scans, scans]))
+    cb, (pb0, kb0, _) = boot(cb, both[:, :4])
+    cb, (pb1, kb1, _) = blocked(cb, both[:, 4:])
+    pb = np.concatenate([np.asarray(pb0), np.asarray(pb1)], axis=1)
+    kfb = np.concatenate([np.asarray(kb0), np.asarray(kb1)], axis=1)
+
+    assert ate_rmse(np.asarray(ps), poses) < 0.05
+    for lane in range(B):
+        assert ate_rmse(pb[lane], poses) < 0.05, lane
+    # keyframe cadence matches single-stream
+    assert abs(int(kfb[0].sum()) - int(np.asarray(kfs).sum())) <= 1
+    # drops (shared-index bucket collisions across lanes) stay negligible
+    assert int(np.asarray(cb.map_state.n_dropped)) < 50
+
+
+@pytest.mark.slow
 def test_estimator_chunk_mode_matches_frame_mode():
     from lidar_odometry_tpu.config import SystemConfig
     from lidar_odometry_tpu.models.estimator import Estimator
