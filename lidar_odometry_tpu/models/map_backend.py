@@ -144,7 +144,10 @@ class ShardedMapBackend:
         # already do under the bounded caps (delayed, never lost).
         self.update_batch = (update_batch if update_batch is not None
                              else getattr(config, "sharded_update_batch", 1))
-        self._pend = []       # [(world_pts, mask)] device arrays
+        self._pend = []       # [(world_pts, mask, sensor)] device arrays
+        self._n_updates = 0   # first K dispatch immediately (bootstrap:
+        #                       deferring the FIRST keyframes starves ICP
+        #                       of any map at all)
 
     def empty(self) -> vm.VoxelMapState:
         from ..parallel import sharded_map as sm
@@ -168,7 +171,9 @@ class ShardedMapBackend:
             mesh_axis=self.mesh_axis)
 
     def update(self, state, world_pts, mask, sensor_pos, max_distance):
-        if self.update_batch <= 1:
+        self._n_updates += 1
+        if (self.update_batch <= 1
+                or self._n_updates <= self.update_batch):
             return self._dispatch_update(state, world_pts, mask, sensor_pos,
                                          max_distance)
         self._pend.append((jnp.asarray(world_pts), jnp.asarray(mask),

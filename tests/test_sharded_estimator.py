@@ -73,6 +73,22 @@ def test_sharded_front_door_matches_single_chip_odometry():
     assert est_sharded.get_keyframe_count() == est_single.get_keyframe_count()
 
 
+def test_sharded_front_door_with_update_batching():
+    """The front door with sharded_update_batch=4: lookups lag <=3
+    keyframes, so the trajectory is slightly looser than batch=1 but must
+    stay accurate; finalize flushes pending inserts."""
+    poses, scans = _straight_scans()
+    cfg = _cfg(sharded_update_batch=4)
+    est = Estimator(cfg, sync_loop=True,
+                    map_backend=ShardedMapBackend(cfg, _map_mesh()))
+    for s in scans:
+        assert est.process_frame(s)
+    est.finalize_loops()
+    assert ate_rmse(est.trajectory(), poses) < 0.08
+    assert not est.backend._pend          # flushed
+    assert int(np.asarray(est.map_state.n_l0).sum()) > 1000
+
+
 def test_batched_sharded_updates_match_unbatched():
     """update_batch=K concatenates K keyframes into one per-shard
     dispatch; after flush the map content must equal K separate updates
