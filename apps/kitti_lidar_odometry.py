@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--sync-loop", action="store_true",
                     help="run loop closure inline (deterministic)")
     ap.add_argument("--save-map", default=None, help="save final map PLY here")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="shard the voxel map over N devices (multi-chip "
+                         "pipeline: distributed ICP + shard-local updates "
+                         "+ distributed Schur PGO)")
     args = ap.parse_args()
 
     print("=" * 60)
@@ -38,7 +42,7 @@ def main() -> int:
     cfg = load_config(args.config)
     player = KittiPlayer(cfg)
     result = player.run(start=args.start, end=args.end, skip=args.skip,
-                        sync_loop=args.sync_loop)
+                        sync_loop=args.sync_loop, shards=args.shards)
     if result.frames_processed == 0:
         return 1
 

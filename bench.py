@@ -170,12 +170,78 @@ def main():
         if err_b < 0.5:
             fps = max(fps, thr_b)
 
+    # ---- loop-enabled line: the FULL capability surface (odometry +
+    # async Iris loop closure + PGO + rehash) on a 1.7-lap circuit
+    # through the production chunked front door, vs the same workload
+    # with loops off (round-2 VERDICT weak item 3) ----
+    extra = {}
+    if not os.environ.get("BENCH_NO_LOOPS"):
+        extra = measure_loop_enabled()
+
     print(json.dumps({
         "metric": "scans_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "scans/s",
         "vs_baseline": round(fps / 400.0, 3),
+        **extra,
     }))
+
+
+def measure_loop_enabled(n_frames=360, raw_n=65536):
+    import jax
+    from lidar_odometry_tpu.config import SystemConfig
+    from lidar_odometry_tpu.io import synthetic
+    from lidar_odometry_tpu.models.estimator import Estimator
+
+    cache = f"/tmp/bench_circuit_{n_frames}_{raw_n}.npz"
+    if os.path.exists(cache):
+        scans = np.load(cache)["scans"]
+    else:
+        world = synthetic.make_world(seed=31, extent=70.0, n_buildings=20)
+        poses = synthetic.circuit_trajectory(n_frames, length=60.0,
+                                             radius=15.0, step=1.0)
+        rng = np.random.default_rng(31)
+        scans = np.full((n_frames, raw_n, 3), np.nan, np.float32)
+        for i in range(n_frames):
+            s = synthetic.sample_scan(world, poses[i], raw_n, rng,
+                                      max_range=70.0, noise=0.01)
+            scans[i, : len(s)] = s
+        try:
+            np.savez(cache, scans=scans)
+        except Exception:
+            pass
+
+    def run(enable):
+        cfg = SystemConfig(
+            scan_capacity=14336, map_l0_capacity=262144,
+            map_l1_capacity=65536, keyframe_capacity=1024, point_stride=4,
+            voxel_size=0.5, map_voxel_size=0.5, max_range=100.0,
+            enable_loop_detection=enable, min_keyframe_gap=50,
+            max_search_distance=10.0, similarity_threshold=0.35,
+            enable_console_statistics=False)
+        est = Estimator(cfg)
+        if enable:
+            est.warm_loop_programs()
+        # warm the chunk program shape
+        est.process_chunk(scans[:20])
+        t0 = time.perf_counter()
+        for c in range(20, n_frames, 20):
+            est.process_chunk(scans[c:c + 20])
+        est.finalize_loops()
+        dt = time.perf_counter() - t0
+        fps = (n_frames - 20) / dt
+        loops = est.loop_constraint_count
+        est.shutdown()
+        return fps, loops
+
+    fps_off, _ = run(False)
+    fps_on, loops = run(True)
+    print(f"# loop-enabled: {fps_on:.1f} fps vs {fps_off:.1f} off "
+          f"({loops} loop constraints, ratio {fps_on/fps_off:.2f})",
+          file=sys.stderr)
+    return {"loop_enabled_fps": round(fps_on, 1),
+            "loop_off_fps": round(fps_off, 1),
+            "loop_constraints": int(loops)}
 
 
 if __name__ == "__main__":

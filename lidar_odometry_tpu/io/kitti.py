@@ -171,7 +171,12 @@ class KittiPlayer:
         return p if os.path.isfile(p) else None
 
     def run(self, start: int = 0, end: Optional[int] = None, skip: int = 1,
-            sync_loop: bool = False, prefetch: bool = True) -> KittiPlayerResult:
+            sync_loop: bool = False, prefetch: bool = True,
+            shards: int = 0) -> KittiPlayerResult:
+        """`shards` > 0 runs the SAME pipeline with the voxel map sharded
+        over that many devices (BASELINE config 5: distributed robust
+        ICP, shard-local updates, distributed Schur PGO), via
+        models/map_backend.ShardedMapBackend."""
         result = KittiPlayerResult()
         files = self.bin_files()
         if not files:
@@ -180,7 +185,18 @@ class KittiPlayer:
         files = files[start:end:skip]
         log.info("[KittiPlayer] {} frames (seq {})", len(files), self.cfg.seq)
 
-        self.estimator = Estimator(self.cfg, sync_loop=sync_loop)
+        backend = None
+        if shards > 0:
+            import jax
+            import numpy as _np
+            from jax.sharding import Mesh
+            from ..models.map_backend import ShardedMapBackend
+            mesh = Mesh(_np.array(jax.devices()[:shards]), ("map",))
+            self.cfg = self.cfg.replace(pgo_backend="distributed")
+            backend = ShardedMapBackend(self.cfg, mesh)
+            log.info("[KittiPlayer] sharded map over {} devices", shards)
+        self.estimator = Estimator(self.cfg, sync_loop=sync_loop,
+                                   map_backend=backend)
         loader = native_io.Prefetcher(files) if prefetch else None
         t_run = time.perf_counter()
         for i, path in enumerate(files):

@@ -746,6 +746,42 @@ class Estimator:
                  output_path, len(pts))
         return True
 
+    def warm_loop_programs(self):
+        """Compile the background worker's device programs (batch Iris
+        extraction, batched compare, the fused loop_closure_solve,
+        rehash) ahead of the first loop query: on a tunnel-attached
+        device each compile is tens of seconds, and an async worker
+        compiling DURING the run steals device time from the odometry
+        stream (round-2 ACCURACY loop fps was compile-bound). With the
+        persistent compilation cache this is a one-time cost."""
+        from ..ops import iris
+        cap = self.cfg.scan_capacity
+        rng = np.random.default_rng(0)
+        cloud = rng.uniform(-20.0, 20.0, (cap, 3)).astype(np.float32)
+        mask = np.ones(cap, bool)
+        cj, mj = jnp.asarray(cloud), jnp.asarray(mask)
+        outs = []
+        for b in (1, 2, 4, 8, 16):
+            outs.append(self.loop_detector._extract_batch_packed(
+                jnp.asarray(np.repeat(cloud[None], b, 0)),
+                jnp.asarray(np.repeat(mask[None], b, 0))))
+        qi, qT, qM = iris.iris_feature(iris.iris_image(cj, mj))
+        for pad in (1, 2, 4, 8, 16):
+            db_i = jnp.asarray(np.zeros((pad, iris.ROWS, iris.COLS),
+                                        np.uint8))
+            db_T = jnp.asarray(np.zeros(
+                (pad, iris.PACKED_WORDS, iris.COLS), np.uint32))
+            valid = jnp.asarray(np.ones(pad, bool))
+            outs.append(iris.compare_batch_packed(
+                qi, qT, qM, db_i, db_T, db_T, valid))
+        eye = jnp.eye(4, dtype=jnp.float32)
+        outs.append(icp.loop_closure_solve(
+            cj, mj, eye, cj, mj, eye, jnp.float32(0.0), self.pko_consts,
+            self.icp_cfg, prealign=self.cfg.loop_prealign))
+        outs.append(self.backend.rehash(self.map_state,
+                                        np.eye(4, np.float32)))
+        jax.block_until_ready(outs)
+
     def shutdown(self):
         if self._thread is not None:
             self._thread_running = False

@@ -111,6 +111,30 @@ def test_kitti_player_end_to_end(tmp_path):
     assert len(lines[0].split()) == 12
 
 
+def test_kitti_player_sharded(tmp_path):
+    """The CLI surface of BASELINE config 5: the same player run with the
+    map sharded over the virtual 8-device mesh (--shards 8)."""
+    world = synthetic.make_world(seed=23, extent=60.0, n_buildings=12)
+    poses = synthetic.straight_trajectory(8, step=0.4)
+    rng = np.random.default_rng(23)
+    seq_dir = tmp_path / "sequences" / "07" / "velodyne"
+    os.makedirs(seq_dir)
+    for i, pose in enumerate(poses):
+        scan = synthetic.sample_scan(world, pose, 10000, rng,
+                                     max_range=50.0, noise=0.01)
+        _write_bin(str(seq_dir / f"{i:06d}.bin"), scan)
+    cfg = SystemConfig(
+        data_directory=str(tmp_path), output_directory=str(tmp_path / "out"),
+        seq="07", scan_capacity=8192, map_l0_capacity=131072,
+        map_l1_capacity=32768, keyframe_capacity=64, point_stride=1,
+        enable_loop_detection=False, enable_console_statistics=False)
+    player = KittiPlayer(cfg)
+    result = player.run(sync_loop=True, shards=8)
+    assert result.frames_processed == 8
+    assert player.estimator.backend.name == "sharded"
+    assert os.path.isfile(result.trajectory_path)
+
+
 @pytest.mark.slow
 def test_ply_player_end_to_end(tmp_path):
     world = synthetic.make_world(seed=22, extent=50.0, n_buildings=10)
