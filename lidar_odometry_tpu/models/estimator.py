@@ -779,7 +779,7 @@ class Estimator:
             cj, mj, eye, cj, mj, eye, jnp.float32(0.0), self.pko_consts,
             self.icp_cfg, prealign=self.cfg.loop_prealign))
         outs.append(self.backend.rehash(self.map_state,
-                                        np.eye(4, np.float32)))
+                                        np.eye(4, dtype=np.float32)))
         jax.block_until_ready(outs)
 
     def shutdown(self):

@@ -538,7 +538,12 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
             s_slot = s2 >> 1
             lead2 = jnp.concatenate([jnp.ones((1,), bool),
                                      s_slot[1:] != s_slot[:-1]]) & (s_slot < c1)
-            lead_pos, _ = _compact(lead2, aff_cap)
+            lead_pos, n_aff = _compact(lead2, aff_cap)
+            # affected parents beyond the cap keep their child counts but
+            # lose the surfel recompute — make the truncation VISIBLE
+            # (and sized away in the bulk tier: a silently-capped first
+            # update left whole regions surfel-less)
+            n_dropped = n_dropped + jnp.maximum(n_aff - aff_cap, 0)
             aff_ok = lead_pos >= 0
             lp = jnp.clip(lead_pos, 0, m2 - 1)
             aff_slot = jnp.where(aff_ok, s_slot[lp], -1)
@@ -696,13 +701,19 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     branch = jnp.where(
         (n_new <= sc) & (n_unres <= sc), 0,
         jnp.where((n_new <= sc) & (n_unres <= resolve_mid), 1, 2))
+    # Bulk-tier affected/recompute caps scale with p itself (bounded by
+    # c1): a first keyframe can make EVERY point a new child of a new
+    # parent, and capping the affected list at the steady-state constant
+    # left whole regions without surfels on large batched inserts (the
+    # blocked multi-sequence runner inserts block*B keyframes at once).
+    aff_bulk = min(p + evict_list, c1)
+    r_bulk = min(p, c1)
     (l0_data, l1_index, l1_meta, l1_last, l1_surfel, l1_free, l1_top,
      n_l0, n_dropped) = jax.lax.switch(
         branch,
         [tier(sc, sc, r_small),
          tier(sc, sc, r_small, resolve_cap=resolve_mid),
-         tier(p, min(2 * small_cap, p + evict_list),
-              min(2 * small_cap, p), resolve_cap=p)],
+         tier(p, aff_bulk, r_bulk, resolve_cap=p)],
         args)
 
     return VoxelMapState(
