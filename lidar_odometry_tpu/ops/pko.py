@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["PKOConstants", "make_pko_constants", "pko_scale_factor",
+           "pko_alpha_from_samples", "pko_alpha_index_from_samples",
+           "stratified_sample",
            "kernel_weight", "detect_picks_for_init",
            "information_matrix_diagonal", "information_weight"]
 
@@ -260,17 +262,30 @@ def pko_scale_factor(residuals: jax.Array, valid: jax.Array,
 
     `residuals` are the normalized |r|/scale values; `valid` masks padding.
     """
-    n = residuals.shape[0]
     m = consts.gmm_sample_size
     key = jax.random.PRNGKey(42)  # deterministic, mirroring the fixed seed
-    # Stratified subsample of the valid entries WITHOUT a sort: rank the
-    # valid entries by cumsum, invert rank -> index with one unique
-    # scatter, and draw one uniform rank per stratum (distinct ranks by
-    # construction when n_valid >= m). The previous argsort-of-noise
-    # draw paid a full n-element sort per ICP iteration (~0.1 ms at 14k
-    # on v5e) for the same statistical job; the reference semantics —
-    # fixed-seed uniform subsample, AdaptiveMEstimator.cpp:322 — keep
-    # determinism, not the exact index sequence (see module docstring).
+    samples, _ok = stratified_sample(residuals, valid, m, key)
+    # Fewer valid than sample_size: duplicate ranks resolve to valid
+    # entries by the clamp in stratified_sample; an all-invalid call
+    # degrades to slot 0.
+    return pko_alpha_from_samples(samples, consts, key=key)
+
+
+def stratified_sample(residuals: jax.Array, valid: jax.Array, m: int,
+                      key: jax.Array):
+    """Stratified subsample of the valid entries WITHOUT a sort: rank the
+    valid entries by cumsum, invert rank -> index with one unique
+    scatter, and draw one uniform rank per stratum (distinct ranks by
+    construction when n_valid >= m). The previous argsort-of-noise
+    draw paid a full n-element sort per ICP iteration (~0.1 ms at 14k
+    on v5e) for the same statistical job; the reference semantics —
+    fixed-seed uniform subsample, AdaptiveMEstimator.cpp:322 — keep
+    determinism, not the exact index sequence (see module docstring).
+
+    Returns (samples (m,), ok (m,)) — `ok` marks strata below n_valid;
+    slots past it resolve to the first valid entry (or slot 0 of an
+    all-invalid input)."""
+    n = residuals.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
     idx_of_rank = jnp.zeros((n,), jnp.int32).at[
@@ -280,13 +295,28 @@ def pko_scale_factor(residuals: jax.Array, valid: jax.Array,
     k = jnp.floor((jnp.arange(m, dtype=jnp.float32) + u)
                   * n_valid.astype(jnp.float32) / m).astype(jnp.int32)
     k = jnp.clip(k, 0, jnp.maximum(n_valid - 1, 0))
-    take = idx_of_rank[k]
-    samples = residuals[take]
-    # If fewer valid than sample_size, duplicate ranks resolve to valid
-    # entries by the clamp above; an all-invalid call degrades to slot 0.
+    samples = residuals[idx_of_rank[k]]
     ok = jnp.arange(m) < n_valid
-    samples = jnp.where(ok, samples, residuals[idx_of_rank[0]])
+    return jnp.where(ok, samples, residuals[idx_of_rank[0]]), ok
 
+
+def pko_alpha_from_samples(samples: jax.Array, consts: PKOConstants,
+                           key: jax.Array = None) -> jax.Array:
+    """GMM fit + JS argmin over the alpha grid, given an already-drawn
+    sample of normalized residuals (the tail of pko_scale_factor —
+    exposed so the distributed ICP can psum-gather the sample and run
+    this replicated, parallel/sharded_map.robust_icp_loop)."""
+    return consts.alphas[pko_alpha_index_from_samples(samples, consts,
+                                                      key=key)]
+
+
+def pko_alpha_index_from_samples(samples: jax.Array, consts: PKOConstants,
+                                 key: jax.Array = None) -> jax.Array:
+    """Index into consts.alphas of the JS-argmin kernel scale (the
+    distributed ICP selects a per-alpha precomputed GN system by this
+    index, so it needs the argmin itself, not the alpha value)."""
+    if key is None:
+        key = jax.random.PRNGKey(42)
     w, mu, var = _fit_gmm(samples, consts.gmm_components, key)
 
     # P(r) on the grid via the GMM (+1e-10, :747-756).
@@ -300,5 +330,4 @@ def pko_scale_factor(residuals: jax.Array, valid: jax.Array,
     cost = jnp.mean(jsd, axis=1)                        # NaNs impossible: P,Q>0
     # Skip candidate 0 (reference loops i=1.., :259).
     cost = cost.at[0].set(jnp.inf)
-    best = jnp.argmin(cost)
-    return consts.alphas[best]
+    return jnp.argmin(cost)

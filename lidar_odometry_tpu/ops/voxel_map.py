@@ -402,7 +402,11 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         evp = jnp.clip(ev_list, 0, c1 - 1)
         ev_rows = (evp[:, None] * NCH
                    + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
-        blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)   # (E, 27, 4)
+        # contiguous per-parent block gather: the (c1, NCH*4) view turns
+        # 27 narrow 4-wide row gathers per parent into ONE 108-wide row
+        # (4-wide rows tile poorly against the (8,128) vregs — the
+        # row-addressed gather was a top-5 op in the S=8 trace)
+        blk = l0_data.reshape(c1, NCH * 4)[evp].reshape(evict_list, NCH, 4)
         bcnt = blk[..., 0]
         bd2c = min_d2cnt(blk[..., 1:4], bcnt)
         bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
@@ -567,9 +571,9 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 r_ok = r_pos >= 0
                 rp = jnp.clip(r_pos, 0, aff_cap - 1)
                 r_slot = jnp.where(r_ok, aff_slot[rp], -1)
-                r_rows = (jnp.clip(r_slot, 0, c1 - 1)[:, None] * NCH
-                          + jnp.arange(NCH, dtype=jnp.int32)[None, :])
-                rblk = l0_data[r_rows.reshape(-1)].reshape(r_cap, NCH, 4)
+                # contiguous (c1, NCH*4)-view block gather (see do_evict)
+                rblk = l0_data.reshape(c1, NCH * 4)[
+                    jnp.clip(r_slot, 0, c1 - 1)].reshape(r_cap, NCH, 4)
                 rblk = jnp.where(r_ok[:, None, None], rblk, 0.0)
                 _rcnt, mean, cov, kids_ok = _block_stats(rblk)
                 lam, normal = eigh3.eigh3(cov)
@@ -581,14 +585,17 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 r_non_planar = r_non_planar & ~r_defer
                 r_use = r_ok & ~r_non_planar & ~r_defer
 
-                # map R verdicts back onto the affected list
-                non_planar = jnp.zeros((aff_cap,), bool).at[
-                    jnp.where(r_ok, rp, aff_cap)].set(
-                    r_non_planar, mode="drop",
-                    unique_indices=True) & recompute
-                use_new = jnp.zeros((aff_cap,), bool).at[
-                    jnp.where(r_ok, rp, aff_cap)].set(
-                    r_use, mode="drop", unique_indices=True) & recompute
+                # map R verdicts back onto the affected list by RANK
+                # GATHER, not scatter: _compact is order-preserving, so
+                # the r-list position of affected row j is its prefix
+                # rank among recompute rows (a bool scatter here lowered
+                # to a ~0.7 us/row serial loop on v5e — the single
+                # hottest op of the steady S=8 update trace)
+                r_rank = jnp.cumsum(recompute.astype(jnp.int32)) - 1
+                in_r = recompute & (r_rank < r_cap)
+                rr = jnp.clip(r_rank, 0, r_cap - 1)
+                non_planar = in_r & (r_non_planar.astype(jnp.int32)[rr] > 0)
+                use_new = in_r & (r_use.astype(jnp.int32)[rr] > 0)
                 has_out = jnp.where(aff_new,
                                     jnp.where(enough, skip | use_new, False),
                                     prev_has & enough)
@@ -680,8 +687,11 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
 
     args = (l0_data, l1_index, l1_meta, state.l1_last, state.l1_surfel,
             l1_free, l1_top, n_l0, state.n_dropped)
-    # Three size tiers (branch picked by the EXACT per-update counts, so
+    # Four size tiers (branch picked by the EXACT per-update counts, so
     # the steady state pays the smallest legal program):
+    #   revisit — n_new and n_unresolved both <= 64 (keyframe over
+    #            already-mapped territory: the dominant case on looping
+    #            trajectories and the per-shard steady state);
     #   small  — n_new and n_unresolved both fit small_cap (typical
     #            steady keyframe);
     #   middle — identical caps but a 2x resolve compaction: keyframes
@@ -698,9 +708,21 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     sc = min(small_cap, p)
     resolve_mid = min(2 * small_cap, p)
     r_small = max(min(small_cap * 3 // 8, p), 8)
+    # Revisit tier: a keyframe over already-mapped territory creates at
+    # most a handful of new voxels, but the small tier still pays its
+    # FULL cap-sized claim/compaction/verdict machinery for them — at
+    # per-shard shapes that machinery was most of the update. Tier R
+    # caps novelty at 64 new children / unresolved points; its affected
+    # list still covers every evicted parent (64 + evict_list), so
+    # nothing is deferred that the small tier would have handled.
+    t_cap = min(64, sc)
+    aff_rev = min(t_cap + evict_list, c1)
+    r_rev = t_cap
     branch = jnp.where(
-        (n_new <= sc) & (n_unres <= sc), 0,
-        jnp.where((n_new <= sc) & (n_unres <= resolve_mid), 1, 2))
+        (n_new <= t_cap) & (n_unres <= t_cap), 0,
+        jnp.where(
+            (n_new <= sc) & (n_unres <= sc), 1,
+            jnp.where((n_new <= sc) & (n_unres <= resolve_mid), 2, 3)))
     # Bulk-tier affected/recompute caps scale with p itself (bounded by
     # c1): a first keyframe can make EVERY point a new child of a new
     # parent, and capping the affected list at the steady-state constant
@@ -711,7 +733,8 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     (l0_data, l1_index, l1_meta, l1_last, l1_surfel, l1_free, l1_top,
      n_l0, n_dropped) = jax.lax.switch(
         branch,
-        [tier(sc, sc, r_small),
+        [tier(t_cap, aff_rev, r_rev),
+         tier(sc, sc, r_small),
          tier(sc, sc, r_small, resolve_cap=resolve_mid),
          tier(p, aff_bulk, r_bulk, resolve_cap=p)],
         args)

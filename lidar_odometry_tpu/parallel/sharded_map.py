@@ -230,60 +230,124 @@ def robust_icp_loop(local_state: vm.VoxelMapState, p, m, T0, cap: int,
                     pko_consts=None):
     """Per-shard body of the FULL distributed ICP with the single-chip
     engine's semantics (ops/icp.icp_optimize): iteration-0 residual
-    normalization sigma/6 via psum'd moments, PKO adaptive delta on the
-    all_gathered normalized residuals (O(scan) bytes — 64 KB at 16k pts,
-    latency-trivial on ICI), huber/cauchy robust weights, early-exit
-    while_loop, and fall-back-to-guess on failure (reference
+    normalization sigma/6 via psum'd raw moments, PKO adaptive delta,
+    huber/cauchy robust weights, early-exit while_loop, and
+    fall-back-to-guess on failure (reference
     IterativeClosestPointOptimizer.cpp:255-463). Call inside a shard_map
     (optionally under vmap over a sequence batch).
+
+    Collective structure (the strong-scaling redesign; the round-2
+    version paid ~4 sequential collective rounds per iteration):
+      * ONE moments psum before the loop (count + raw sum/sum-sq of
+        |r| at the guess -> sigma/6 scale, iteration 0 of the single-
+        chip engine hoisted out of the while_loop);
+      * ONE fused psum per GN iteration. PKO's kernel-scale choice only
+        depends on (a) a stratified sample of the global normalized
+        residuals and (b) which alpha wins the JS argmin — so each
+        shard contributes a stratified sample of its OWN residuals
+        into its slice of a fixed sample buffer, and the 6x6 normal
+        equations are accumulated PER CANDIDATE ALPHA as one
+        (A, n)@(n, 42) matmul (MXU work that scales with n/S). The
+        [per-alpha systems | sample slots | count] buffer psums as a
+        single ~17 KB collective; the GMM fit + JS argmin then runs
+        replicated on identical psum'd samples and selects the
+        already-reduced system — no residual all_gather, no second
+        sequential round. The sample is drawn per-shard (quota
+        ceil(m/S) each) instead of over a gathered array: same
+        stratified-subsample semantics on the same multiset, different
+        (deterministic, fold_in(42, shard)) index sequence — the
+        converged-pose equivalence bound is tested in
+        tests/test_parallel.py.
+
+    The owned subset is compacted ONCE at the initial guess: a point
+    whose parent cell migrates to another shard mid-optimization simply
+    misses the local index that iteration (correspondence deferred to
+    the next call — ICP steps are well under the 3-voxel parent size),
+    which removes the O(scan) ownership recompaction the round-2
+    version paid per iteration.
 
     Returns (T_opt, success, n_correspondences)."""
     from ..ops import pko as pko_ops
     from ..ops.icp import _robust_weights
 
     me = jax.lax.axis_index(mesh_axis)
+    use_pko = cfg.use_adaptive_m_estimator and pko_consts is not None
 
-    def body(carry):
-        i, T, done, scale, n_corr, failed = carry
+    R0, t0 = lie.se3_rt(T0)
+    owner = owner_of_points(p @ R0.T + t0[None, :], n_shards,
+                            voxel_size=cfg.voxel_size,
+                            hierarchy_factor=cfg.hierarchy_factor)
+    p_own, ok_own, _ = _compact_owned(p, m, owner, me, cap)
+
+    if use_pko:
+        n_alpha = int(pko_consts.alphas.shape[0])
+        quota = -(-int(pko_consts.gmm_sample_size) // n_shards)
+        skey = jax.random.fold_in(jax.random.PRNGKey(42), me)
+
+    def residuals_at(T):
         R, t = lie.se3_rt(T)
-        pw_all = p @ R.T + t[None, :]
-        owner = owner_of_points(pw_all, n_shards, voxel_size=cfg.voxel_size,
-                                hierarchy_factor=cfg.hierarchy_factor)
-        p_own, ok, _ = _compact_owned(p, m, owner, me, cap)
         pw = p_own @ R.T + t[None, :]
         normal, centroid, hit = vm.lookup_surfels(
             local_state, pw, voxel_size=cfg.voxel_size,
             hierarchy_factor=cfg.hierarchy_factor)
         r = jnp.sum(normal * (pw - centroid), axis=-1)
-        r_abs = jnp.abs(r)
-        valid = hit & ok & (r_abs <= cfg.max_correspondence_distance)
+        valid = hit & ok_own & (jnp.abs(r) <= cfg.max_correspondence_distance)
+        return R, normal, r, valid
+
+    def gn_round(T, scale, res):
+        """One GN iteration from precomputed residuals: ONE fused psum.
+        Returns (T_new, converged, insufficient, count)."""
+        R, normal, r, valid = res
         w = valid.astype(jnp.float32)
-        count = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), mesh_axis)
-        insufficient = count < cfg.min_correspondence_points
-
-        # sigma/6 normalization from GLOBAL moments (icp.py _norm_scale_from)
-        n = jnp.maximum(jax.lax.psum(jnp.sum(w), mesh_axis), 1.0)
-        mean = jax.lax.psum(jnp.sum(r_abs * w), mesh_axis) / n
-        var = jax.lax.psum(jnp.sum(((r_abs - mean) ** 2) * w), mesh_axis) / n
-        new_scale = jnp.where(i == 0, jnp.sqrt(var) / 6.0, scale)
-        norm_resid = r_abs / jnp.maximum(new_scale, 1e-6)
-
-        if cfg.use_adaptive_m_estimator and pko_consts is not None:
-            nr_all = jax.lax.all_gather(norm_resid, mesh_axis, tiled=True)
-            v_all = jax.lax.all_gather(valid, mesh_axis, tiled=True)
-            delta = pko_ops.pko_scale_factor(nr_all, v_all, pko_consts)
-        else:
-            delta = jnp.asarray(cfg.robust_loss_delta, jnp.float32)
-
-        if cfg.use_robust_loss:
-            w_rob = _robust_weights(norm_resid, delta, cfg.loss_type) * w
-        else:
-            w_rob = w
+        norm_resid = jnp.abs(r) / jnp.maximum(scale, 1e-6)
         a = normal @ R
         J = jnp.concatenate([a, jnp.cross(p_own, a)], axis=-1)
-        H = jax.lax.psum(J.T @ (J * w_rob[:, None]), mesh_axis)
-        g = jax.lax.psum(J.T @ (w_rob * r), mesh_axis)
-        H = H + jnp.eye(6) * 1e-8
+        # per-point GN contributions: vec(J J^T) (36) | J*r (6)
+        Z = jnp.concatenate(
+            [(J[:, :, None] * J[:, None, :]).reshape(-1, 36),
+             J * r[:, None]], axis=1)
+        cnt = jnp.sum(w)
+
+        if use_pko:
+            W = _robust_weights(norm_resid[None, :],
+                                pko_consts.alphas[:, None],
+                                cfg.loss_type) * w[None, :]
+            partials = W @ Z                                  # (A, 42)
+            samp, sok = pko_ops.stratified_sample(norm_resid, valid,
+                                                  quota, skey)
+            sokf = sok.astype(jnp.float32)
+            zeros_s = jnp.zeros((n_shards * quota,), jnp.float32)
+            sbuf = jax.lax.dynamic_update_slice(zeros_s, samp * sokf,
+                                                (me * quota,))
+            obuf = jax.lax.dynamic_update_slice(zeros_s, sokf,
+                                                (me * quota,))
+            buf = jnp.concatenate([partials.reshape(-1), sbuf, obuf,
+                                   cnt[None]])
+            buf = jax.lax.psum(buf, mesh_axis)
+            n42 = n_alpha * 42
+            partials = buf[:n42].reshape(n_alpha, 42)
+            s_all = buf[n42: n42 + n_shards * quota]
+            o_all = buf[n42 + n_shards * quota: n42 + 2 * n_shards * quota]
+            count = buf[-1]
+            # slots from shards with too few valid residuals fall back to
+            # the mean of the contributed ones (never poison the GMM)
+            meanv = jnp.sum(s_all) / jnp.maximum(jnp.sum(o_all), 1.0)
+            s_fin = jnp.where(o_all > 0.5, s_all, meanv)
+            best = pko_ops.pko_alpha_index_from_samples(s_fin, pko_consts)
+            HG = partials[best]
+        else:
+            delta = jnp.asarray(cfg.robust_loss_delta, jnp.float32)
+            if cfg.use_robust_loss:
+                w_rob = _robust_weights(norm_resid, delta, cfg.loss_type) * w
+            else:
+                w_rob = w
+            buf = jax.lax.psum(jnp.concatenate([w_rob @ Z, cnt[None]]),
+                               mesh_axis)
+            HG, count = buf[:42], buf[42]
+
+        H = HG[:36].reshape(6, 6) + jnp.eye(6) * 1e-8
+        g = HG[36:42]
+        insufficient = count < cfg.min_correspondence_points
         delta_x = jnp.linalg.solve(H, -g)
         fin = jnp.all(jnp.isfinite(delta_x))
         dt = jnp.where(fin, delta_x[:3], 0.0)
@@ -291,21 +355,47 @@ def robust_icp_loop(local_state: vm.VoxelMapState, p, m, T0, cap: int,
         T_new = T @ lie.se3_from_exp_rt(dt, dw)
         converged = ((jnp.linalg.norm(dt) < cfg.translation_tolerance)
                      & (jnp.linalg.norm(dw) < cfg.rotation_tolerance))
+        return T_new, converged, insufficient, count
 
-        step_active = ~done & ~insufficient
+    # ---- iteration 0, unrolled: moments psum (sigma/6 scale at the
+    # guess, icp.py _norm_scale_from via raw moments) + first GN round ----
+    res0 = residuals_at(T0)
+    r_abs0 = jnp.abs(res0[2])
+    w0 = res0[3].astype(jnp.float32)
+    mom = jax.lax.psum(jnp.stack([jnp.sum(w0), jnp.sum(r_abs0 * w0),
+                                  jnp.sum(r_abs0 * r_abs0 * w0)]),
+                       mesh_axis)
+    n0 = jnp.maximum(mom[0], 1.0)
+    mean0 = mom[1] / n0
+    var0 = jnp.maximum(mom[2] / n0 - mean0 * mean0, 0.0)
+    scale = jnp.sqrt(var0) / 6.0
+
+    T1, conv0, insuff0, cnt0 = gn_round(T0, scale, res0)
+    step0 = ~insuff0
+    T1 = jnp.where(step0, T1, T0)
+    done0 = insuff0 | (step0 & conv0)
+    failed0 = insuff0
+    ncorr0 = jnp.where(step0, jnp.round(cnt0).astype(jnp.int32),
+                       jnp.int32(0))
+
+    def body(carry):
+        i, T, done, n_corr, failed = carry
+        res = residuals_at(T)
+        T_new, conv, insuff, cnt = gn_round(T, scale, res)
+        step_active = ~done & ~insuff
         T_out = jnp.where(step_active, T_new, T)
-        done_out = done | insufficient | (step_active & converged)
-        failed_out = failed | (~done & insufficient)
-        n_corr_out = jnp.where(step_active, count, n_corr)
-        return (i + 1, T_out, done_out, new_scale, n_corr_out, failed_out)
+        done_out = done | insuff | (step_active & conv)
+        failed_out = failed | (~done & insuff)
+        n_corr_out = jnp.where(step_active,
+                               jnp.round(cnt).astype(jnp.int32), n_corr)
+        return (i + 1, T_out, done_out, n_corr_out, failed_out)
 
     def cond(carry):
-        i, _T, done, _s, _n, _f = carry
+        i, _T, done, _n, _f = carry
         return (i < cfg.max_iterations) & ~done
 
-    init = (jnp.int32(0), T0, jnp.bool_(False), jnp.float32(1.0),
-            jnp.int32(0), jnp.bool_(False))
-    _, T, done, scale, n_corr, failed = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(1), T1, done0, ncorr0, failed0)
+    _, T, done, n_corr, failed = jax.lax.while_loop(cond, body, init)
     success = ~failed
     return jnp.where(success, T, T0), success, n_corr
 

@@ -137,9 +137,18 @@ def main():
 
         @jax.jit
         def icp_chain(st, T):
-            # ICP_ITERS shard-local GN iterations (the post-compaction
-            # body of sharded_map.robust_icp_loop, minus collectives)
+            # ICP_ITERS iterations of the fused-round GN body
+            # (sharded_map.robust_icp_loop minus the psums and minus the
+            # replicated 100-sample GMM fit, which is identical at every
+            # S and excluded from both sides of the ratio): lookup,
+            # residuals, per-ALPHA GN partials as one (A,n)@(n,42)
+            # matmul, the per-shard stratified PKO sample draw, and a
+            # mid-grid system select standing in for the JS argmin.
+            from lidar_odometry_tpu.ops import pko as pko_ops
             p, m = P_all[40], M_all[40]
+            alphas = jnp.asarray(np.geomspace(0.1, 10.0, 100), jnp.float32)
+            quota = -(-100 // S)
+            key = jax.random.PRNGKey(42)
 
             def it(_, T_cur):
                 R, t = lie.se3_rt(T_cur)
@@ -147,15 +156,43 @@ def main():
                 normal, centroid, hit = vm.lookup_surfels(st, pw,
                                                           voxel_size=0.5)
                 r = jnp.sum(normal * (pw - centroid), axis=-1)
-                w = (hit & m & (jnp.abs(r) <= 1.0)).astype(jnp.float32)
+                valid = hit & m & (jnp.abs(r) <= 1.0)
+                w = valid.astype(jnp.float32)
+                norm_resid = jnp.abs(r) / 0.05
                 a = normal @ R
                 J = jnp.concatenate([a, jnp.cross(p, a)], axis=-1)
-                H = J.T @ (J * w[:, None]) + jnp.eye(6) * 1e-8
-                g = J.T @ (w * r)
+                Z = jnp.concatenate(
+                    [(J[:, :, None] * J[:, None, :]).reshape(-1, 36),
+                     J * r[:, None]], axis=1)
+                W = jnp.where(norm_resid[None, :] > alphas[:, None],
+                              alphas[:, None]
+                              / jnp.maximum(norm_resid[None, :], 1e-30),
+                              1.0) * w[None, :]
+                partials = W @ Z                          # (A, 42)
+                samp, sok = pko_ops.stratified_sample(norm_resid, valid,
+                                                      quota, key)
+                HG = partials[50] \
+                    + jnp.sum(samp * sok.astype(jnp.float32)) * 0.0
+                H = HG[:36].reshape(6, 6) + jnp.eye(6) * 1e-8
+                g = HG[36:42]
                 delta = jnp.linalg.solve(H, -g)
                 return T_cur @ lie.se3_from_exp_rt(delta[:3], delta[3:])
 
             return jax.lax.fori_loop(0, ICP_ITERS, it, T)
+
+        full_p = jnp.asarray(scans[40][0])
+        full_m = jnp.asarray(scans[40][1])
+
+        @jax.jit
+        def compact_frame():
+            # per-frame sharding overhead: ownership hash over the FULL
+            # scan + one compaction to the owned cap — run ONCE per ICP
+            # call since robust_icp_loop freezes the owned set at the
+            # guess (O(N) work that does NOT shrink with S; charged at
+            # S>1 only)
+            owner = sm.owner_of_points(full_p, S, voxel_size=0.5)
+            p_own, ok, _ = sm._compact_owned(full_p, full_m, owner, 0, cap)
+            return jnp.sum(p_own) + jnp.sum(ok.astype(jnp.float32))
 
         @jax.jit
         def steady_chain(st):
@@ -198,6 +235,8 @@ def main():
         t_upd_batched = device_time_ms(steady_batched, st, n=4) / K / 1e3
         T0 = jnp.asarray(poses[40], jnp.float32)
         t_icp = device_time_ms(icp_chain, st, T0, n=4) / ICP_ITERS / 1e3
+        t_compact = (device_time_ms(compact_frame, n=8) / 1e3
+                     if S > 1 else 0.0)
         st = upd_chain(st)  # advance for the reported n_l0
 
         if S == 1:
@@ -206,21 +245,25 @@ def main():
             t1_batched = t_upd_batched
         # Per-frame shard work at KITTI cadence: ICP_ITERS iterations +
         # update on every 4th frame (keyframe every ~1 m at 0.25 m
-        # steps). Each distributed ICP iteration is charged TWO
-        # collective latencies: the (6,6) GN psum AND the PKO normalized-
-        # residual all_gather (~64 KB -> latency-bound on ICI; the
-        # round-2 model omitted it — VERDICT round-2 weak item 2).
-        n_coll = 2
-        t_frame_S = ICP_ITERS * (t_icp + n_coll * T_COMM_S) + (t_upd / 4.0)
+        # steps). The fused-round robust_icp_loop pays ONE collective
+        # per GN iteration (the [per-alpha systems | PKO sample | count]
+        # psum) plus ONE moments psum per ICP call (sigma/6 scale at the
+        # guess) plus the once-per-call O(N) ownership compaction
+        # (t_compact; the round-2 version paid the compaction AND ~4
+        # sequential collective rounds per iteration).
+        n_coll = 1
+        over = t_compact + T_COMM_S  # per-frame: compaction + moments psum
+        t_frame_S = over + ICP_ITERS * (t_icp + n_coll * T_COMM_S) \
+            + (t_upd / 4.0)
         t_frame_1 = ICP_ITERS * t1_icp + (t1_update / 4.0)
         eff = t_frame_1 / (S * t_frame_S)
         # same, for the steady-state (revisit) update regime
-        t_frame_S_st = ICP_ITERS * (t_icp + n_coll * T_COMM_S) \
+        t_frame_S_st = over + ICP_ITERS * (t_icp + n_coll * T_COMM_S) \
             + (t_upd_steady / 4.0)
         t_frame_1_st = ICP_ITERS * t1_icp + (t1_steady / 4.0)
         eff_steady = t_frame_1_st / (S * t_frame_S_st)
         # deployment configuration: batched keyframe updates (KB=4)
-        t_frame_S_b = ICP_ITERS * (t_icp + n_coll * T_COMM_S) \
+        t_frame_S_b = over + ICP_ITERS * (t_icp + n_coll * T_COMM_S) \
             + (t_upd_batched / 4.0)
         t_frame_1_b = ICP_ITERS * t1_icp + (t1_batched / 4.0)
         eff_batched = t_frame_1_b / (S * t_frame_S_b)
@@ -230,12 +273,14 @@ def main():
         # and the only added cost is the per-step collective latency
         eff_weak = t_frame_1 / (ICP_ITERS * (t1_icp + (n_coll * T_COMM_S
                                                        if S > 1 else 0.0))
+                                + (T_COMM_S if S > 1 else 0.0)
                                 + t1_update / 4.0)
         results[str(S)] = {
             "per_shard_update_ms": round(t_upd * 1e3, 2),
             "per_shard_update_steady_ms": round(t_upd_steady * 1e3, 2),
             "per_shard_update_batched_ms": round(t_upd_batched * 1e3, 2),
             "per_shard_icp_iter_ms": round(t_icp * 1e3, 3),
+            "compact_ms_per_frame": round(t_compact * 1e3, 3),
             "owned_point_cap": cap,
             "l0_capacity": c0,
             "map_axis_efficiency": round(eff, 3),
@@ -262,11 +307,12 @@ def main():
                    "scan_pts": N_PTS, "icp_iters": ICP_ITERS},
         "comm_per_keyframe": {
             "update_table_bytes": 0,
-            "icp_psum_bytes_per_step": 172,
-            "pko_residual_allgather_bytes_per_step": 4 * N_PTS + N_PTS,
+            "icp_fused_psum_bytes_per_step": 4 * (100 * 42 + 2 * 104 + 1),
+            "icp_moments_psum_bytes_per_call": 12,
             "rehash": "all_gather of live voxel records, loop closures only",
         },
-        "collectives_charged_per_icp_iter": 2,
+        "collectives_charged_per_icp_iter": 1,
+        "collectives_charged_per_frame_extra": 1,
         "update_batch_deployment": 4,
         "results": results,
         "note": ("map_axis_efficiency is STRONG scaling: a fixed-size "
