@@ -89,7 +89,11 @@ def voxel_filter(points: jax.Array, n_points: jax.Array, *, voxel_size,
         valid_s = ~K.key_eq(hi_s, lo_s, K.INVALID_HI, K.INVALID_LO)
         is_start, seg_id = K.segment_starts(hi_s, lo_s, valid_s)
 
-    pts_s = pts[idx_s]
+    # Zero (not just weight-mask) invalid rows: padding is NaN in padded
+    # scans and NaN * 0 = NaN — one poisoned trailing segment otherwise
+    # reaches ICP's normal equations as a masked-True NaN centroid and
+    # freezes the pose (delta_x goes NaN -> finite-guard -> zero step).
+    pts_s = jnp.where(valid_s[:, None], pts[idx_s], 0.0)
     w = valid_s.astype(pts.dtype)
     num_segments = min(out_capacity, n)
     # seg_id is monotonic (cumsum over sorted keys): declaring it sorted

@@ -92,3 +92,21 @@ def test_compact_keys_matches_generic():
                                voxel_size=0.5, stride=1, out_capacity=8,
                                compact_keys=True)
     assert int(n_far) == 1
+
+
+def test_nan_padded_tail_does_not_poison_centroids():
+    """A NaN-padded scan whose n_points covers the padding (the Estimator
+    API contract allows it: padding rows are non-finite) must yield
+    all-finite masked centroids. Regression: NaN * 0-weight rows summed
+    into the LAST segment, emitting one masked-True NaN centroid that
+    froze ICP for the whole run (delta_x NaN -> zero step)."""
+    rng = np.random.default_rng(3)
+    pts = np.full((2048, 3), np.nan, np.float32)
+    pts[:1500] = (rng.standard_normal((1500, 3)) * 20).astype(np.float32)
+    for ck in (False, True):
+        c, m, n = voxel_filter(jnp.asarray(pts), jnp.int32(2048),
+                               voxel_size=0.5, stride=1, out_capacity=2048,
+                               compact_keys=ck)
+        got = np.asarray(c)[np.asarray(m)]
+        assert np.isfinite(got).all(), f"compact_keys={ck}"
+        assert int(n) == len(got)
