@@ -111,7 +111,8 @@ def make_indoor_scans():
     return scans, poses
 
 
-def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True):
+def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True,
+        warm=True):
     from lidar_odometry_tpu.config import SystemConfig
     from lidar_odometry_tpu.models.estimator import Estimator
     if indoor:
@@ -138,6 +139,18 @@ def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True):
             min_keyframe_gap=50, max_search_distance=10.0,
             similarity_threshold=0.35,
             enable_console_statistics=False)
+    if warm and use_chunks:
+        # warm THIS configuration's chunk program before the timed run —
+        # each (loop, correspondence-mode, shapes) variant compiles its
+        # own fused program, and an in-region compile over the axon
+        # tunnel (~40-60 s) would otherwise swamp the fps comparison.
+        # A throwaway estimator fills the persistent XLA cache; the timed
+        # instance then deserializes in ~1 s instead of compiling.
+        est_w = Estimator(cfg)
+        if enable_loop:
+            est_w.warm_loop_programs()
+        est_w.process_chunk(scans[:2 * CHUNK], sample_stages=True)
+        est_w.shutdown()
     est = Estimator(cfg)  # async loop/PGO worker, like production
     if enable_loop:
         # pre-compile the worker's device programs so the measured run is
@@ -183,12 +196,6 @@ def main():
     print("# generating scans...", file=sys.stderr)
     scans, gt, dyn_frac = make_scans()
     indoor_scans, indoor_gt = make_indoor_scans()
-
-    # Warm the chunk-program compile cache so measured wall_s reflects
-    # steady state, not the first invocation's XLA compile.
-    print("# warmup (compile cache)...", file=sys.stderr)
-    est_w, _ = run(scans[:2 * CHUNK], enable_loop=False)
-    est_w.shutdown()
 
     out = {"kind": "kitti07_like_accuracy",
            "frames": N_FRAMES,

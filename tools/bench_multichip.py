@@ -52,7 +52,7 @@ ICP_ITERS = 4
 T_COMM_S = 10e-6  # ICI latency bound for the ~1.3 KB/keyframe psum
 
 
-def main():
+def measure_config(n_pts, c0_total, c1_total, s_values=(1, 2, 4, 8)):
     import jax
     import jax.numpy as jnp
     from lidar_odometry_tpu.io import synthetic
@@ -61,17 +61,17 @@ def main():
     from lidar_odometry_tpu.utils import lie
 
     dev = jax.devices()[0]
-    print(f"# device: {dev} ({dev.platform})", file=sys.stderr)
+    print(f"# device: {dev} ({dev.platform}) n_pts={n_pts}", file=sys.stderr)
 
     world = synthetic.make_world(seed=3, extent=120.0, n_buildings=24)
     poses = synthetic.straight_trajectory(48, step=1.0)
     rng = np.random.default_rng(3)
     scans = []
     for i in range(48):
-        s = synthetic.sample_scan(world, poses[i], N_PTS, rng,
+        s = synthetic.sample_scan(world, poses[i], n_pts, rng,
                                   max_range=80.0, noise=0.01)
-        buf = np.zeros((N_PTS, 3), np.float32)
-        m = np.zeros(N_PTS, bool)
+        buf = np.zeros((n_pts, 3), np.float32)
+        m = np.zeros(n_pts, bool)
         buf[: len(s)] = s @ poses[i][:3, :3].T + poses[i][:3, 3]
         m[: len(s)] = True
         scans.append((buf, m))
@@ -81,9 +81,9 @@ def main():
 
     results = {}
     t1_update = t1_icp = None
-    for S in (1, 2, 4, 8):
-        cap = sm._owned_cap(N_PTS, S)
-        c0, c1 = C0_TOTAL // S, C1_TOTAL // S
+    for S in s_values:
+        cap = sm._owned_cap(n_pts, S)
+        c0, c1 = c0_total // S, c1_total // S
         cfg = icp.ICPConfig(max_iterations=ICP_ITERS, voxel_size=0.5,
                             use_adaptive_m_estimator=False)
 
@@ -295,7 +295,22 @@ def main():
               f"icp_iter={t_icp*1e3:.3f}ms cap={cap} "
               f"eff={eff:.3f}/{eff_steady:.3f}/b{eff_batched:.3f}",
               file=sys.stderr)
+    return dev, results
 
+
+def main():
+    dev, results = measure_config(N_PTS, C0_TOTAL, C1_TOTAL)
+    # Dense-scan strong scaling: the deployment regime where 8-way map
+    # sharding actually pays. A stride-1 / 128-beam operating point
+    # (131072-pt scans, 8x map capacity) gives every shard of an S=8
+    # split exactly today's 16k/262k single-chip shapes — per-shard work
+    # large enough that the fixed per-op latency floors (which cap the
+    # 16k curve) are amortized. The 16k curve above stays the honest
+    # fixed-size-problem story; this one answers "when do 8 chips make
+    # sense" (scaling-book recipe: scale when per-chip work is big
+    # enough, otherwise latency floors dominate).
+    _, results_dense = measure_config(8 * N_PTS, 8 * C0_TOTAL,
+                                      8 * C1_TOTAL)
     out = {
         "kind": "multichip_scaling",
         "method": ("per-shard programs timed at per-shard shapes on the real "
@@ -315,6 +330,9 @@ def main():
         "collectives_charged_per_frame_extra": 1,
         "update_batch_deployment": 4,
         "results": results,
+        "shapes_dense": {"c0_total": 8 * C0_TOTAL, "c1_total": 8 * C1_TOTAL,
+                         "scan_pts": 8 * N_PTS, "icp_iters": ICP_ITERS},
+        "results_dense": results_dense,
         "note": ("map_axis_efficiency is STRONG scaling: a fixed-size "
                  "problem split S ways (per-shard shapes shrink, so "
                  "fixed per-op latency floors bite at high S); the "
@@ -335,7 +353,12 @@ def main():
                  "S=1 is psum latency. Virtual-CPU-mesh wall-clock is not "
                  "reported: the host has 2 cores, so 8 virtual devices "
                  "cannot show wall-clock scaling (tests/test_parallel.py "
-                 "proves S=8 semantics)."),
+                 "proves S=8 semantics). results_dense is the same strong-"
+                 "scaling measurement for the dense operating point "
+                 "(stride-1 / 128-beam scans: 131072 pts, 8x map) — the "
+                 "fixed-size problem for which 8-way sharding is the "
+                 "intended deployment; at S=8 each shard runs exactly the "
+                 "16k/262k single-chip shapes."),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
