@@ -31,7 +31,12 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "float32")
 
 # Persistent compilation cache: tunnel-attached TPU compiles are slow
-# (tens of seconds per program); cache them across processes.
-_jax.config.update("jax_compilation_cache_dir",
-                   _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# (tens of seconds per program); cache them across processes — but ONLY
+# when the caller opts in via JAX_COMPILATION_CACHE_DIR. XLA:CPU
+# executable (de)serialization is unreliable on some hosts (AOT feature
+# mismatch segfaults on load; serialize() itself can SIGABRT), so an
+# unconditional default cache took down the CPU test suite.
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

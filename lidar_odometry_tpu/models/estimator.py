@@ -754,26 +754,27 @@ class Estimator:
         compiling DURING the run steals device time from the odometry
         stream (round-2 ACCURACY loop fps was compile-bound). With the
         persistent compilation cache this is a one-time cost."""
-        from ..ops import iris
         cap = self.cfg.scan_capacity
         rng = np.random.default_rng(0)
         cloud = rng.uniform(-20.0, 20.0, (cap, 3)).astype(np.float32)
         mask = np.ones(cap, bool)
         cj, mj = jnp.asarray(cloud), jnp.asarray(mask)
         outs = []
-        for b in (1, 2, 4, 8, 16):
-            outs.append(self.loop_detector._extract_batch_packed(
-                jnp.asarray(np.repeat(cloud[None], b, 0)),
-                jnp.asarray(np.repeat(mask[None], b, 0))))
-        qi, qT, qM = iris.iris_feature(iris.iris_image(cj, mj))
-        for pad in (1, 2, 4, 8, 16):
-            db_i = jnp.asarray(np.zeros((pad, iris.ROWS, iris.COLS),
-                                        np.uint8))
-            db_T = jnp.asarray(np.zeros(
-                (pad, iris.PACKED_WORDS, iris.COLS), np.uint32))
-            valid = jnp.asarray(np.ones(pad, bool))
-            outs.append(iris.compare_batch_packed(
-                qi, qT, qM, db_i, db_T, db_T, valid))
+        det = self.loop_detector
+        if det._db_n == 0:
+            # warm the extract-and-store buckets against the real device
+            # DB (rows stay past db_n=0, overwritten by the first drain)
+            det._ensure_db()
+            for b in (1, 2, 4, 8, 16):
+                det._dev_img, det._dev_T, det._dev_M = det._extract_store(
+                    jnp.asarray(np.repeat(cloud[None], b, 0)),
+                    jnp.asarray(np.repeat(mask[None], b, 0)),
+                    det._dev_img, det._dev_T, det._dev_M, jnp.int32(0))
+            for pad in (1, 2, 4, 8, 16):
+                outs.append(det._compare_idx(
+                    det._dev_img, det._dev_T, det._dev_M, jnp.int32(0),
+                    jnp.asarray(np.zeros(pad, np.int32)),
+                    jnp.asarray(np.ones(pad, bool))))
         eye = jnp.eye(4, dtype=jnp.float32)
         outs.append(icp.loop_closure_solve(
             cj, mj, eye, cj, mj, eye, jnp.float32(0.0), self.pko_consts,

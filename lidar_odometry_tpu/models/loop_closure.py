@@ -16,6 +16,7 @@ Host-side orchestration + device-side batched comparison:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -44,19 +45,23 @@ class LoopClosureConfig:
 
 
 class LoopClosureDetector:
-    """The descriptor DB lives HOST-side as growing lists (one numpy row
-    per keyframe): insertion is O(1) — the round-1 device DB re-copied
-    ~470 MB of `.at[i].set` buffers per drained keyframe — and each query
-    stages only the gate-surviving candidates to the device for the one
-    batched compare. Iris images are stored uint8 (they are 8-bit
-    occupancy masks, reference LidarIris.cpp:4-19)."""
+    """The descriptor DB lives ON DEVICE as three preallocated arrays
+    updated in place (donated dynamic_update_slice — no functional-update
+    copies, the round-1 mistake; no drain-time fetches, the round-3
+    finding: every device->host fetch is a ~150 ms tunnel round trip and
+    the fetch-then-reupload DB crossed the tunnel TWICE per descriptor).
+    Extraction writes straight into the DB rows in the same dispatch;
+    a query gathers its candidates by index on device and fetches only
+    the (distance, bias) score rows. The host keeps just kf_ids and
+    queue-time positions for the gap/distance gates. Iris images are
+    stored uint8 (8-bit occupancy masks, reference LidarIris.cpp:4-19)."""
 
     def __init__(self, config: LoopClosureConfig, capacity: int = 4096):
         self.config = config
         self.capacity = capacity
-        self._db_img: List[np.ndarray] = []   # (ROWS, COLS) uint8 each
-        self._db_T: List[np.ndarray] = []     # (PACKED_WORDS, COLS) uint32
-        self._db_M: List[np.ndarray] = []
+        self._dev_img = None        # (capacity, ROWS, COLS) uint8
+        self._dev_T = None          # (capacity, PACKED_WORDS, COLS) uint32
+        self._dev_M = None
         self._db_n = 0
         self._kf_ids: List[int] = []
         self._positions: List[np.ndarray] = []
@@ -74,61 +79,72 @@ class LoopClosureDetector:
 
     _DRAIN_BATCH = 16
 
-    def _extract(self, cloud: np.ndarray, mask: np.ndarray):
-        img = iris.iris_image(jnp.asarray(cloud), jnp.asarray(mask))
-        return iris.iris_feature(img)
+    def _ensure_db(self):
+        if self._dev_img is None:
+            self._dev_img = jnp.zeros((self.capacity, iris.ROWS, iris.COLS),
+                                      jnp.uint8)
+            self._dev_T = jnp.zeros(
+                (self.capacity, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
+            self._dev_M = jnp.zeros(
+                (self.capacity, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
 
     @staticmethod
     @jax.jit
-    def _extract_batch_packed(clouds, masks):
-        """Batch extraction with ONE uint32 output array — a synchronous
-        np.asarray pays a full tunnel round trip, so the image/T/M fetch
-        is packed into a single transfer (cols: img | T | M)."""
+    def _compare_idx(dbi, dbT, dbM, qidx, cand_idx, valid):
+        """Batched compare of DB row `qidx` against DB rows `cand_idx`,
+        everything resident on device."""
+        q_img = dbi[qidx].astype(jnp.float32)
+        return iris.compare_batch_packed(
+            q_img, dbT[qidx], dbM[qidx], dbi[cand_idx], dbT[cand_idx],
+            dbM[cand_idx], valid)
+
+    @staticmethod
+    @partial(jax.jit, donate_argnums=(2, 3, 4))
+    def _extract_store(clouds, masks, dbi, dbT, dbM, start):
+        """Extract a keyframe batch AND write the descriptors into the
+        device DB rows [start, start+b) in the same dispatch — nothing
+        comes back to the host."""
         imgs = jax.vmap(iris.iris_image)(clouds, masks)
         _, Ts, Ms = jax.vmap(iris.iris_feature)(imgs)
-        b = imgs.shape[0]
-        return jnp.concatenate(
-            [imgs.astype(jnp.uint32).reshape(b, -1),
-             Ts.reshape(b, -1), Ms.reshape(b, -1)], axis=1)
+        dbi = jax.lax.dynamic_update_slice(dbi, imgs.astype(jnp.uint8),
+                                           (start, 0, 0))
+        dbT = jax.lax.dynamic_update_slice(dbT, Ts, (start, 0, 0))
+        dbM = jax.lax.dynamic_update_slice(dbM, Ms, (start, 0, 0))
+        return dbi, dbT, dbM
 
     def _drain_pending(self):
-        """Extract queued keyframes in vmapped batches: the round-1
-        one-at-a-time loop starved the background worker when many
-        keyframes queued between queries (each drain was a separate
-        device dispatch chain)."""
-        n_img = iris.ROWS * iris.COLS
-        n_tm = iris.PACKED_WORDS * iris.COLS
+        """Extract queued keyframes in vmapped batches straight into the
+        device DB (power-of-two buckets bound the compile count to 5
+        shapes; trailing pad rows are overwritten by the next drain and
+        masked out of every compare by db_n)."""
         while self._pending:
-            # batch size = next power of two covering the pending count
-            # (<= _DRAIN_BATCH): the common steady case is 1-2 pending
-            # per query, and padding those to 16 cost a 2.7 MB fetch per
-            # drain on a ~150 ms-latency tunnel. Power-of-two buckets
-            # bound the compile count to 5 shapes.
+            room = self.capacity - self._db_n
+            if room <= 0:
+                for _c, _m, kf_id, _p in self._pending:
+                    log.warn("[LoopClosureDetector] DB capacity exceeded, "
+                             "dropping KF {}", kf_id)
+                self._pending = []
+                break
+            # power-of-two bucket that always fits the remaining room, so
+            # the update block starts exactly at db_n (pad rows land past
+            # the live region, never over it)
             b = 1
-            while b < min(len(self._pending), self._DRAIN_BATCH):
+            while (b * 2 <= room
+                   and b < min(len(self._pending), self._DRAIN_BATCH)):
                 b *= 2
-            batch = self._pending[:b]
-            self._pending = self._pending[b:]
+            take = min(b, len(self._pending))
+            batch = self._pending[:take]
+            self._pending = self._pending[take:]
             k = len(batch)
             clouds = np.stack([x[0] for x in batch] + [batch[0][0]] * (b - k))
             masks = np.stack([x[1] for x in batch] + [batch[0][1]] * (b - k))
-            packed = np.asarray(self._extract_batch_packed(
-                jnp.asarray(clouds), jnp.asarray(masks)))
-            imgs_np = packed[:, :n_img].astype(np.uint8).reshape(
-                b, iris.ROWS, iris.COLS)
-            Ts_np = packed[:, n_img:n_img + n_tm].reshape(
-                b, iris.PACKED_WORDS, iris.COLS)
-            Ms_np = packed[:, n_img + n_tm:].reshape(
-                b, iris.PACKED_WORDS, iris.COLS)
+            self._ensure_db()
+            start = self._db_n
+            self._dev_img, self._dev_T, self._dev_M = self._extract_store(
+                jnp.asarray(clouds), jnp.asarray(masks),
+                self._dev_img, self._dev_T, self._dev_M, jnp.int32(start))
             for j in range(k):
                 _, _, kf_id, position = batch[j]
-                if self._db_n >= self.capacity:
-                    log.warn("[LoopClosureDetector] DB capacity exceeded, "
-                             "dropping KF {}", kf_id)
-                    continue
-                self._db_img.append(imgs_np[j])
-                self._db_T.append(Ts_np[j])
-                self._db_M.append(Ms_np[j])
                 self._kf_ids.append(kf_id)
                 self._positions.append(position)
                 self._db_n += 1
@@ -143,16 +159,18 @@ class LoopClosureDetector:
         if self._db_n == 0:
             return []
 
-        # The query keyframe was just drained into the DB — reuse its
-        # stored descriptor (staging three small rows) instead of
-        # re-uploading and re-extracting the raw cloud.
+        # The query keyframe was just drained into the DB — its
+        # descriptor is read by index on device; a query for an unknown
+        # keyframe (not produced by the pipeline) extracts into the
+        # scratch row past the live region.
         if query_kf_id in self._kf_ids:
             qi = self._kf_ids.index(query_kf_id)
-            q_img = jnp.asarray(self._db_img[qi].astype(np.float32))
-            qT = jnp.asarray(self._db_T[qi])
-            qM = jnp.asarray(self._db_M[qi])
         else:
-            q_img, qT, qM = self._extract(query_cloud, query_mask)
+            self._ensure_db()
+            qi = min(self._db_n, self.capacity - 1)
+            self._dev_img, self._dev_T, self._dev_M = self._extract_store(
+                jnp.asarray(query_cloud)[None], jnp.asarray(query_mask)[None],
+                self._dev_img, self._dev_T, self._dev_M, jnp.int32(qi))
 
         ids = np.asarray(self._kf_ids[: self._db_n])
         pos = np.stack(self._positions[: self._db_n])
@@ -173,15 +191,13 @@ class LoopClosureDetector:
         valid = np.zeros(pad, bool)
         valid[: len(cand_idx)] = True
 
-        # Candidates stage as uint8 images (the f32 cast quadrupled the
-        # upload) and the (distance, bias) results come back in ONE
-        # packed fetch — round trips dominate this path on a tunnel.
-        c_img = np.stack([self._db_img[i] for i in idx_p])
-        c_T = np.stack([self._db_T[i] for i in idx_p])
-        c_M = np.stack([self._db_M[i] for i in idx_p])
-        out = np.asarray(iris.compare_batch_packed(
-            q_img, qT, qM, jnp.asarray(c_img), jnp.asarray(c_T),
-            jnp.asarray(c_M), jnp.asarray(valid)))
+        # Candidates gather ON DEVICE by index (the only uploads are the
+        # tiny index/valid vectors) and the (distance, bias) results come
+        # back in ONE packed fetch — round trips dominate this path on a
+        # tunnel.
+        out = np.asarray(self._compare_idx(
+            self._dev_img, self._dev_T, self._dev_M, jnp.int32(qi),
+            jnp.asarray(idx_p), jnp.asarray(valid)))
         dists = out[:, 0]
         biases = out[:, 1].astype(np.int32)
         best = int(np.argmin(dists))
@@ -196,9 +212,9 @@ class LoopClosureDetector:
         return [LoopCandidate(query_kf_id, match_id, best_score, int(biases[best]))]
 
     def clear(self):
-        self._db_img = []
-        self._db_T = []
-        self._db_M = []
+        self._dev_img = None
+        self._dev_T = None
+        self._dev_M = None
         self._db_n = 0
         self._kf_ids = []
         self._positions = []
@@ -213,15 +229,16 @@ class LoopClosureDetector:
 
     def export_state(self) -> dict:
         """Descriptor DB as arrays for checkpointing (pending queue is
-        drained first so nothing is lost)."""
+        drained first so nothing is lost). The only fetches of the
+        device-resident DB happen here, at checkpoint time."""
         self._drain_pending()
         n = self._db_n
         return {
-            "iris_img": (np.stack(self._db_img) if n else
+            "iris_img": (np.asarray(self._dev_img)[:n] if n else
                          np.zeros((0, iris.ROWS, iris.COLS), np.uint8)),
-            "iris_T": (np.stack(self._db_T) if n else
+            "iris_T": (np.asarray(self._dev_T)[:n] if n else
                        np.zeros((0, iris.PACKED_WORDS, iris.COLS), np.uint32)),
-            "iris_M": (np.stack(self._db_M) if n else
+            "iris_M": (np.asarray(self._dev_M)[:n] if n else
                        np.zeros((0, iris.PACKED_WORDS, iris.COLS), np.uint32)),
             "iris_kf_ids": np.asarray(self._kf_ids, np.int32),
             "iris_positions": (np.stack(self._positions) if n else
@@ -231,9 +248,20 @@ class LoopClosureDetector:
     def import_state(self, state: dict) -> None:
         self.clear()
         n = len(state["iris_kf_ids"])
-        self._db_img = [state["iris_img"][i] for i in range(n)]
-        self._db_T = [state["iris_T"][i] for i in range(n)]
-        self._db_M = [state["iris_M"][i] for i in range(n)]
+        if n:
+            self._ensure_db()
+            pad = self.capacity - n
+            self._dev_img = jnp.asarray(np.concatenate(
+                [state["iris_img"][:self.capacity],
+                 np.zeros((max(pad, 0), iris.ROWS, iris.COLS), np.uint8)]))
+            self._dev_T = jnp.asarray(np.concatenate(
+                [state["iris_T"][:self.capacity],
+                 np.zeros((max(pad, 0), iris.PACKED_WORDS, iris.COLS),
+                          np.uint32)]))
+            self._dev_M = jnp.asarray(np.concatenate(
+                [state["iris_M"][:self.capacity],
+                 np.zeros((max(pad, 0), iris.PACKED_WORDS, iris.COLS),
+                          np.uint32)]))
         self._kf_ids = [int(k) for k in state["iris_kf_ids"]]
         self._positions = [state["iris_positions"][i] for i in range(n)]
-        self._db_n = n
+        self._db_n = min(n, self.capacity)

@@ -5,28 +5,17 @@ The deployment image pre-registers the axon TPU plugin via sitecustomize
 and pins JAX_PLATFORMS=axon, so the env var alone is not enough — the
 platform is overridden through jax.config before any backend init.
 """
-import hashlib
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent-cache entries embed host-specific CPU AOT code, and JAX's
-# cache key does NOT include the host's CPU features — an entry written
-# on a machine with different vector extensions segfaults on load
-# (cpu_aot_loader feature-mismatch). Fingerprint the dir by the host's
-# flag set so a reused /tmp never serves foreign executables.
-def _host_tag():
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    return "nocpuinfo"
-
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      f"/tmp/jax_cache_{_host_tag()}")
+# NO persistent compilation cache for the CPU test suite. XLA:CPU's
+# executable (de)serialization is unreliable on this deploy image: an
+# entry written on a host with different CPU vector extensions segfaults
+# on load (JAX's cache key omits host features, cpu_aot_loader warns and
+# crashes), and serialization itself SIGABRTs for some programs here.
+# In-process jit caching still deduplicates within a run; the TPU-side
+# tools keep their own (axon) cache, which works.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
