@@ -160,6 +160,9 @@ class Estimator:
         self.frame_count = 0
         self.loop_constraint_count = 0
         self.loop_icp_attempts = 0
+        # cumulative background loop-path stage times (ms), for
+        # throughput attribution (loop_icp / pgo_solve / pgo_apply)
+        self._loop_stage_ms: Dict[str, float] = {}
         self._chunk_runner = None
         self._chunk_carry = None
 
@@ -547,6 +550,7 @@ class Estimator:
         # bounded fine ICP with inlier validation — runs as ONE fused
         # dispatch with ONE packed fetch: the background worker's host
         # round trips are what steal device time from the odometry stream.
+        _t0 = time.perf_counter()
         packed = np.asarray(icp.loop_closure_solve(
             jnp.asarray(current_kf.feature_cloud),
             jnp.asarray(current_kf.feature_mask),
@@ -557,6 +561,9 @@ class Estimator:
             jnp.float32(candidate.bias),
             self.pko_consts, self.icp_cfg,
             prealign=self.cfg.loop_prealign))
+        self._loop_stage_ms["loop_icp"] = \
+            self._loop_stage_ms.get("loop_icp", 0.0) \
+            + (time.perf_counter() - _t0) * 1e3
         T_rel_dev = packed[:16].reshape(4, 4)
         success = packed[16] > 0.5
         inlier_ratio = packed[17]
@@ -584,9 +591,13 @@ class Estimator:
             kf_ids = [kf.kf_id for kf in self.keyframes]
             poses_before = [kf.stored_pose.copy() for kf in self.keyframes]
 
+        _t0 = time.perf_counter()
         ok = self.pose_graph.add_loop_and_optimize(
             matched_kf.kf_id, current_kf.kf_id, T_matched_to_current,
             self.cfg.loop_translation_noise, self.cfg.loop_rotation_noise)
+        self._loop_stage_ms["pgo_solve"] = \
+            self._loop_stage_ms.get("pgo_solve", 0.0) \
+            + (time.perf_counter() - _t0) * 1e3
         if not ok:
             log.error("[Background] PGO failed!")
             return False
@@ -617,6 +628,7 @@ class Estimator:
             result, self._pending_result = self._pending_result, None
         if result is None:
             return
+        _t0 = time.perf_counter()
         last_id = result.last_optimized_kf_id
         with self._keyframes_lock:
             for kf in self.keyframes:
@@ -638,6 +650,9 @@ class Estimator:
         C = result.last_kf_correction.astype(np.float32)
         self.T_current = C @ self.T_current
         self._prev_pose = C @ self._prev_pose
+        self._loop_stage_ms["pgo_apply"] = \
+            self._loop_stage_ms.get("pgo_apply", 0.0) \
+            + (time.perf_counter() - _t0) * 1e3
 
     def _propagate_poses_after_pgo(self, last_optimized_kf_id: int):
         """Chain relative poses for keyframes newer than the optimization
@@ -770,7 +785,7 @@ class Estimator:
                     jnp.asarray(np.repeat(cloud[None], b, 0)),
                     jnp.asarray(np.repeat(mask[None], b, 0)),
                     det._dev_img, det._dev_T, det._dev_M, jnp.int32(0))
-            for pad in (1, 2, 4, 8, 16):
+            for pad in (1, 2, 4, 8, 16, 32):
                 outs.append(det._compare_idx(
                     det._dev_img, det._dev_T, det._dev_M, jnp.int32(0),
                     jnp.asarray(np.zeros(pad, np.int32)),

@@ -78,6 +78,7 @@ class LoopClosureDetector:
         return True
 
     _DRAIN_BATCH = 16
+    _MAX_CANDIDATES = 32
 
     def _ensure_db(self):
         if self._dev_img is None:
@@ -181,8 +182,16 @@ class LoopClosureDetector:
         if len(cand_idx) == 0:
             return []
 
-        # Pad candidate count to a power of two to bound recompiles; only
-        # the surviving candidates are staged to the device.
+        # Nearest-K candidate cap: on dense revisits the distance gate
+        # can pass 100+ keyframes, and an unbounded power-of-two pad
+        # compiled a fresh compare mid-run (~10 s on the tunnel each for
+        # pads 32/64/128). The K spatially nearest candidates bound the
+        # compare to warmed buckets; the reference's own candidate gate
+        # is the same distance test (LoopClosureDetector.cpp:129-154),
+        # so the K nearest are exactly the most loop-plausible ones.
+        if len(cand_idx) > self._MAX_CANDIDATES:
+            order = np.argsort(dist[cand_idx])[: self._MAX_CANDIDATES]
+            cand_idx = cand_idx[np.sort(order)]
         pad = 1
         while pad < len(cand_idx):
             pad *= 2

@@ -309,38 +309,16 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
     return T_rel, success, inlier_ratio
 
 
-@partial(jax.jit, static_argnames=("cfg", "prealign", "max_loop_iterations",
+@partial(jax.jit, static_argnames=("cfg", "max_loop_iterations",
                                   "search_radius", "bucket_width",
                                   "bin_scale"))
-def loop_closure_solve(curr_pts: jax.Array, curr_mask: jax.Array,
-                       T_curr: jax.Array, matched_pts: jax.Array,
-                       matched_mask: jax.Array, matched_pose: jax.Array,
-                       bias_deg: jax.Array, pko_consts: pko.PKOConstants,
-                       cfg: ICPConfig, *, prealign: bool = True,
-                       max_loop_iterations: int = 100,
-                       search_radius: int = 2, bucket_width: int = 16,
-                       bin_scale: float = 4.0):
-    """The WHOLE loop-closure geometric pipeline as one dispatch: build
-    the matched keyframe's world cloud + bin table, coarse prealign (Iris
-    yaw bias + BEV phase correlation, ops/bev_align.py), then the bounded
-    fine ICP with inlier validation. One fused program means one host
-    round trip on the background worker — on a tunnel-attached device the
-    worker's round trips are what steal throughput from the odometry
-    stream (round-2 VERDICT weak item 3).
-
-    matched_pts are the matched keyframe's LOCAL-frame features;
-    matched_pose its world pose. Returns (T_rel, success, inlier_ratio).
-    """
-    from . import bev_align
+def _loop_solve_jit(curr_pts, curr_mask, T_curr, matched_pts, matched_mask,
+                    matched_pose, T_init, pko_consts, cfg,
+                    max_loop_iterations, search_radius, bucket_width,
+                    bin_scale):
     matched_world = lie.transform_points(matched_pose, matched_pts)
     table = knn.build_point_table(matched_world, matched_mask,
                                   bin_size=cfg.voxel_size * bin_scale)
-    if prealign:
-        T_init = bev_align.prealign_pose_jnp(
-            T_curr, matched_pose, bias_deg, curr_pts, curr_mask,
-            matched_world, matched_mask)
-    else:
-        T_init = T_curr
     T_rel, success, inlier_ratio = icp_optimize_loop(
         curr_pts, curr_mask, T_curr, table, pko_consts, cfg,
         T_init=T_init, max_loop_iterations=max_loop_iterations,
@@ -351,3 +329,51 @@ def loop_closure_solve(curr_pts: jax.Array, curr_mask: jax.Array,
     return jnp.concatenate([T_rel.reshape(16),
                             success.astype(jnp.float32)[None],
                             inlier_ratio[None]])
+
+
+@jax.jit
+def _loop_prealign_jit(T_curr, matched_pose, bias_deg, curr_pts, curr_mask,
+                       matched_pts, matched_mask):
+    from . import bev_align
+    matched_world = lie.transform_points(matched_pose, matched_pts)
+    return bev_align.prealign_pose_jnp(
+        T_curr, matched_pose, bias_deg, curr_pts, curr_mask,
+        matched_world, matched_mask)
+
+
+def loop_closure_solve(curr_pts: jax.Array, curr_mask: jax.Array,
+                       T_curr: jax.Array, matched_pts: jax.Array,
+                       matched_mask: jax.Array, matched_pose: jax.Array,
+                       bias_deg: jax.Array, pko_consts: pko.PKOConstants,
+                       cfg: ICPConfig, *, prealign: bool = True,
+                       max_loop_iterations: int = 100,
+                       search_radius: int = 2, bucket_width: int = 16,
+                       bin_scale: float = 4.0):
+    """The loop-closure geometric pipeline: build the matched keyframe's
+    world cloud + bin table, coarse prealign (Iris yaw bias + BEV phase
+    correlation, ops/bev_align.py), then the bounded fine ICP with
+    inlier validation. TWO chained dispatches whose intermediate (the
+    prealigned T_init) never leaves the device, so the background worker
+    still pays ONE host round trip — fusing the prealign INTO the solve
+    program made XLA emit a ~2.1 s executable for a composition whose
+    parts run in 22 ms + sub-ms (measured on v5e; iteration count had no
+    effect, so the slowdown is scheduling of the fused FFT, not the ICP).
+
+    matched_pts are the matched keyframe's LOCAL-frame features;
+    matched_pose its world pose. Returns a packed (18,) f32 array
+    [T_rel(16) | success | inlier_ratio]."""
+    if prealign:
+        T_init = _loop_prealign_jit(T_curr, matched_pose, bias_deg,
+                                    curr_pts, curr_mask, matched_pts,
+                                    matched_mask)
+        # the prealigned start is within millimeters of the optimum
+        # (ops/bev_align.py), so the fine ICP only needs LOCAL matching:
+        # radius 1 searches 27 coarse bins instead of 125 — the
+        # correspondence stage is ~the whole solve's device time
+        search_radius = min(search_radius, 1)
+    else:
+        T_init = T_curr
+    return _loop_solve_jit(curr_pts, curr_mask, T_curr, matched_pts,
+                           matched_mask, matched_pose, T_init, pko_consts,
+                           cfg, max_loop_iterations, search_radius,
+                           bucket_width, bin_scale)

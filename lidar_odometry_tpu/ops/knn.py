@@ -31,10 +31,25 @@ class PointTable(NamedTuple):
     pts: jax.Array     # (C, 3) f32 — points, permuted into key order
     valid: jax.Array   # (C,) bool
     n: jax.Array       # () i32
+    grid: jax.Array    # (GX*GY*GZ,) i32 — dense bin -> first sorted index
+    origin: jax.Array  # (3,) i32 — min bin coords of the dense window
+    fits: jax.Array    # () bool — the cloud fits the dense window
+
+
+# Dense-index window (bins). At the loop path's coarse 2 m bins this
+# spans 256 m x 256 m x 64 m — any single keyframe cloud fits. The
+# binary-search fallback covers clouds that don't.
+GRID_DIMS = (128, 128, 32)
+_G = GRID_DIMS[0] * GRID_DIMS[1] * GRID_DIMS[2]
 
 
 @partial(jax.jit, static_argnames=())
 def build_point_table(points: jax.Array, mask: jax.Array, *, bin_size) -> PointTable:
+    """Sorted voxel-key table + a DENSE bin->start grid. The grid turns
+    each neighbor-bin probe into one gather; the per-query-per-bin
+    two-key binary search it replaces (14 dependent probes into the
+    sorted keys) was ~half the device time of the whole loop-closure
+    solve at radius=2 (125 bins x 14336 queries per iteration)."""
     c = points.shape[0]
     inv = 1.0 / bin_size
     coords = K.voxel_coords(points, inv)
@@ -44,8 +59,48 @@ def build_point_table(points: jax.Array, mask: jax.Array, *, bin_size) -> PointT
     hi_s, lo_s, idx = K.sort_by_key(hi, lo, jnp.arange(c, dtype=jnp.int32))
     pts_s = points[idx]
     valid_s = ~K.key_eq(hi_s, lo_s, K.INVALID_HI, K.INVALID_LO)
+
+    dims = jnp.asarray(GRID_DIMS, jnp.int32)
+    coords_s = K.voxel_coords(pts_s, inv)
+    big = jnp.int32(1 << 20)
+    origin = jnp.min(jnp.where(valid_s[:, None], coords_s, big), axis=0)
+    maxc = jnp.max(jnp.where(valid_s[:, None], coords_s, -big), axis=0)
+    n_valid = jnp.sum(valid_s.astype(jnp.int32))
+    fits = jnp.all(maxc - origin < dims) & (n_valid > 0)
+    local = coords_s - origin[None, :]
+    first = valid_s & jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    inside = first & jnp.all((local >= 0) & (local < dims[None, :]), axis=1)
+    lin = (local[:, 0] * dims[1] + local[:, 1]) * dims[2] + local[:, 2]
+    grid = jnp.full((_G,), c, jnp.int32).at[
+        jnp.where(inside, lin, _G)].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop", unique_indices=True)
     return PointTable(hi=hi_s, lo=lo_s, pts=pts_s, valid=valid_s,
-                      n=jnp.sum(valid_s.astype(jnp.int32)))
+                      n=n_valid, grid=grid, origin=origin, fits=fits)
+
+
+def _bin_starts(table: PointTable, nhi, nlo, nb):
+    """First-sorted-entry index per neighbor bin: one dense-grid gather
+    when the cloud fits the window, two-key binary search otherwise.
+    `nb` are absolute bin coords (..., 3); nhi/nlo their packed keys."""
+    c = table.hi.shape[0]
+    dims = jnp.asarray(GRID_DIMS, jnp.int32)
+
+    def dense(_):
+        local = nb - table.origin
+        inside = jnp.all((local >= 0) & (local < dims), axis=-1)
+        lin = (local[..., 0] * dims[1] + local[..., 1]) * dims[2] \
+            + local[..., 2]
+        return jnp.where(inside,
+                         table.grid[jnp.clip(lin, 0, _G - 1)], c)
+
+    def bsearch(_):
+        flat = K.searchsorted2(table.hi, table.lo, nhi.reshape(-1),
+                               nlo.reshape(-1))
+        return flat.reshape(nhi.shape)
+
+    return jax.lax.cond(table.fits, dense, bsearch, operand=None)
 
 
 def _neighbor_offsets(radius: int) -> np.ndarray:
@@ -72,8 +127,7 @@ def knn_query(table: PointTable, queries: jax.Array, *, bin_size, k: int = 5,
     m = offs.shape[0]
     nb = qc[:, None, :] + offs[None, :, :]               # (N, M, 3)
     nhi, nlo = K.pack_key(nb)
-    start = K.searchsorted2(table.hi, table.lo, nhi.reshape(-1), nlo.reshape(-1))
-    start = start.reshape(n, m)
+    start = _bin_starts(table, nhi, nlo, nb)             # (N, M)
 
     # Gather bucket_width consecutive entries per neighbor voxel.
     w = jnp.arange(bucket_width, dtype=jnp.int32)

@@ -25,3 +25,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the heaviest-compile modules FIRST. XLA:CPU segfaults inside
+    backend_compile (LLVM) when the very large bulk-tier voxel-map
+    programs compile late in a long-lived process that has already built
+    ~100 other executables on this image — the same tests pass in a
+    fresh process, and nothing in JAX-land reaches the crash (it is
+    below backend_compile_and_load). Compiling the big programs while
+    the process is fresh sidesteps it without changing any test."""
+    front = ("test_voxel_map.py", "test_voxel_map_oracle.py",
+             "test_fast_pipeline.py")
+
+    def key(item):
+        name = item.fspath.basename
+        return (front.index(name) if name in front else len(front), 0)
+
+    items.sort(key=key)
