@@ -798,6 +798,38 @@ class Estimator:
                                         np.eye(4, dtype=np.float32)))
         jax.block_until_ready(outs)
 
+    def reset(self):
+        """Clear all SLAM state (map, trajectory, keyframes, loop DB,
+        pose graph) while KEEPING every compiled device program — the
+        serving/benchmark reset: a fresh sequence on a warm engine. The
+        reference has no analog (its process lives per sequence); here a
+        cold chunk-program build costs tens of seconds on a tunnel."""
+        self.map_state = self.backend.empty()
+        self.pose_graph = PoseGraphOptimizer(
+            backend=self.pose_graph.backend)
+        self.loop_detector.clear()
+        self.initialized = False
+        self.T_current = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_keyframe_pose = np.eye(4, dtype=np.float32)
+        self.next_keyframe_id = 0
+        with self._keyframes_lock:
+            self.keyframes = []
+        self.frames = []
+        self.last_successful_loop_kf_id = -1
+        self._prev_pose = np.eye(4, dtype=np.float32)
+        self._last_feat = self._last_mask = self._last_icp_guess = None
+        with self._query_cv:
+            self._query_queue.clear()
+        with self._result_lock:
+            self._pending_result = None
+        self.timing_history = []
+        self.frame_count = 0
+        self.loop_constraint_count = 0
+        self.loop_icp_attempts = 0
+        self._loop_stage_ms = {}
+        self._chunk_carry = None
+
     def shutdown(self):
         if self._thread is not None:
             self._thread_running = False

@@ -221,9 +221,8 @@ class LoopClosureDetector:
         return [LoopCandidate(query_kf_id, match_id, best_score, int(biases[best]))]
 
     def clear(self):
-        self._dev_img = None
-        self._dev_T = None
-        self._dev_M = None
+        # keep the device DB arrays allocated: rows past db_n are dead,
+        # and reallocating ~90 MB per Estimator.reset() is pure waste
         self._db_n = 0
         self._kf_ids = []
         self._positions = []

@@ -84,3 +84,30 @@ def test_estimator_api_parity_surface():
     assert est.save_map_to_ply(out)
     assert os.path.getsize(out) > 100
     est.shutdown()
+
+
+def test_reset_reuses_compiled_programs():
+    """Estimator.reset() clears SLAM state but keeps compiled runners:
+    a second sequence on the same instance must track as if fresh."""
+    from lidar_odometry_tpu.io import synthetic
+    from lidar_odometry_tpu.eval import ate_rmse
+    import numpy as np
+
+    cfg = SystemConfig(scan_capacity=4096, map_l0_capacity=32768,
+                       map_l1_capacity=8192, keyframe_capacity=128,
+                       point_stride=2, enable_loop_detection=False,
+                       enable_console_statistics=False)
+    world = synthetic.make_world(seed=9, extent=50.0, n_buildings=12)
+    poses = synthetic.straight_trajectory(16, step=0.5)
+    rng = np.random.default_rng(9)
+    est = Estimator(cfg, sync_loop=True)
+    for p in poses[:8]:
+        est.process_frame(synthetic.sample_scan(world, p, 8000, rng,
+                                                max_range=40.0, noise=0.01))
+    est.reset()
+    assert est.frame_count == 0 and len(est.keyframes) == 0
+    for p in poses:
+        est.process_frame(synthetic.sample_scan(world, p, 8000, rng,
+                                                max_range=40.0, noise=0.01))
+    assert ate_rmse(est.trajectory(), poses) < 0.05
+    est.shutdown()

@@ -139,23 +139,20 @@ def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True,
             min_keyframe_gap=50, max_search_distance=10.0,
             similarity_threshold=0.35,
             enable_console_statistics=False)
-    if warm and use_chunks:
-        # warm THIS configuration's chunk program before the timed run —
-        # each (loop, correspondence-mode, shapes) variant compiles its
-        # own fused program, and an in-region compile over the axon
-        # tunnel (~40-60 s) would otherwise swamp the fps comparison.
-        # A throwaway estimator fills the persistent XLA cache; the timed
-        # instance then deserializes in ~1 s instead of compiling.
-        est_w = Estimator(cfg)
-        if enable_loop:
-            est_w.warm_loop_programs()
-        est_w.process_chunk(scans[:2 * CHUNK], sample_stages=True)
-        est_w.shutdown()
     est = Estimator(cfg)  # async loop/PGO worker, like production
     if enable_loop:
         # pre-compile the worker's device programs so the measured run is
         # steady-state, not compile-bound (round-2 VERDICT weak item 3)
         est.warm_loop_programs()
+    if warm and use_chunks:
+        # warm THIS configuration's chunk + per-frame programs on the
+        # SAME instance, then reset the SLAM state: each (loop,
+        # correspondence-mode, shapes) variant compiles its own fused
+        # program, and an in-region compile (or even a persistent-cache
+        # deserialize, ~20 s for the big programs) over the axon tunnel
+        # would swamp the fps comparison.
+        est.process_chunk(scans[:2 * CHUNK], sample_stages=True)
+        est.reset()
     t0 = time.perf_counter()
     if use_chunks:
         for i, c in enumerate(range(0, len(scans), CHUNK)):
