@@ -30,6 +30,14 @@ import jax as _jax
 # full float32 costs nothing measurable — force it globally.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Honor JAX_PLATFORMS from the environment explicitly: this deploy
+# image pre-registers the axon TPU plugin via sitecustomize, and a bare
+# env var does not always win over it (tests/conftest.py) — a CLI run
+# with JAX_PLATFORMS=cpu would otherwise attach to the axon tunnel and
+# deadlock against whatever process already holds the single chip.
+if _os.environ.get("JAX_PLATFORMS"):
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache: tunnel-attached TPU compiles are slow
 # (tens of seconds per program); cache them across processes — but ONLY
 # when the caller opts in via JAX_COMPILATION_CACHE_DIR. XLA:CPU

@@ -106,7 +106,12 @@ class PLYPlayer:
         self.estimator: Optional[Estimator] = None
 
     def ply_files(self) -> List[str]:
-        d = self.cfg.data_directory
+        # dataset path = data_directory/seq, like the reference
+        # (ply_player.cpp:192-193); fall back to the bare directory for
+        # flat layouts
+        d = os.path.join(self.cfg.data_directory, self.cfg.seq)
+        if not os.path.isdir(d):
+            d = self.cfg.data_directory
         if not os.path.isdir(d):
             return []
         files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".ply")]

