@@ -82,6 +82,7 @@ NCH = 27                    # children per parent (hierarchy_factor**3)
 EVICT_LIST = 2048           # eviction-candidate PARENTS per update (excess defers)
 CH_CAP = 8192               # child rows zeroed (evict) per update (excess defers)
 SMALL_CAP = 4096            # steady-state tier: new-key/affected/delete caps
+_VIEW_GATHER_MAX_C1 = 16384  # (c1, NCH*4)-view child gathers only below this
 INVALID_I32 = -1            # bitcast of K.INVALID_HI / K.INVALID_LO
 
 
@@ -402,11 +403,20 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         evp = jnp.clip(ev_list, 0, c1 - 1)
         ev_rows = (evp[:, None] * NCH
                    + jnp.arange(NCH, dtype=jnp.int32)[None, :]).reshape(-1)
-        # contiguous per-parent block gather: the (c1, NCH*4) view turns
-        # 27 narrow 4-wide row gathers per parent into ONE 108-wide row
-        # (4-wide rows tile poorly against the (8,128) vregs — the
-        # row-addressed gather was a top-5 op in the S=8 trace)
-        blk = l0_data.reshape(c1, NCH * 4)[evp].reshape(evict_list, NCH, 4)
+        # Per-parent child-block gather. Two lowerings, picked by table
+        # size: the (c1, NCH*4) contiguous view wins on SMALL per-shard
+        # tables (one 108-wide row per parent instead of 27 narrow
+        # 4-wide rows, a top-5 op in the S=8 trace) — but materializing
+        # that view relayouts the whole l0_data array, which at
+        # single-chip capacity (c1=64k, 28 MB) costs ~3 ms per keyframe
+        # update and was THE round-3 single-chip regression
+        # (533 -> 377 scans/s). Row-addressed gathers touch only the
+        # gathered rows and win whenever the table dwarfs the gather.
+        if c1 <= _VIEW_GATHER_MAX_C1:
+            blk = l0_data.reshape(c1, NCH * 4)[evp].reshape(
+                evict_list, NCH, 4)
+        else:
+            blk = l0_data[ev_rows].reshape(evict_list, NCH, 4)
         bcnt = blk[..., 0]
         bd2c = min_d2cnt(blk[..., 1:4], bcnt)
         bev = ev_ok[:, None] & (bcnt > 0.0) & (bd2c > maxd2 * bcnt * bcnt)
@@ -571,9 +581,15 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                 r_ok = r_pos >= 0
                 rp = jnp.clip(r_pos, 0, aff_cap - 1)
                 r_slot = jnp.where(r_ok, aff_slot[rp], -1)
-                # contiguous (c1, NCH*4)-view block gather (see do_evict)
-                rblk = l0_data.reshape(c1, NCH * 4)[
-                    jnp.clip(r_slot, 0, c1 - 1)].reshape(r_cap, NCH, 4)
+                # size-picked gather lowering (see do_evict)
+                if c1 <= _VIEW_GATHER_MAX_C1:
+                    rblk = l0_data.reshape(c1, NCH * 4)[
+                        jnp.clip(r_slot, 0, c1 - 1)].reshape(r_cap, NCH, 4)
+                else:
+                    r_rows = (jnp.clip(r_slot, 0, c1 - 1)[:, None] * NCH
+                              + jnp.arange(NCH, dtype=jnp.int32)[None, :])
+                    rblk = l0_data[r_rows.reshape(-1)].reshape(
+                        r_cap, NCH, 4)
                 rblk = jnp.where(r_ok[:, None, None], rblk, 0.0)
                 _rcnt, mean, cov, kids_ok = _block_stats(rblk)
                 lam, normal = eigh3.eigh3(cov)
