@@ -149,6 +149,13 @@ class Estimator:
         self._keyframes_lock = threading.Lock()
         self._thread_running = False
         self._pgo_in_progress = False
+        # generation counter + busy flag (both under _query_cv): reset()
+        # bumps the generation and waits for the worker to go idle, so an
+        # in-flight loop query can neither mutate the fresh detector/
+        # keyframes nor deposit a stale PGOResult whose kf ids alias the
+        # new sequence's restarted ids (round-3 advisor finding).
+        self._generation = 0
+        self._worker_busy = False
         self._thread: Optional[threading.Thread] = None
         if not sync_loop and config.enable_loop_detection:
             self._thread_running = True
@@ -498,10 +505,16 @@ class Estimator:
                     continue
                 query_kf_id = self._query_queue[-1]   # newest wins (:911-913)
                 self._query_queue.clear()
+                self._worker_busy = True
+                gen = self._generation
             try:
-                self._process_loop_query(query_kf_id)
+                self._process_loop_query(query_kf_id, gen)
             except Exception as e:  # degrade silently like the reference
                 log.error("[Background] loop/PGO worker error: {}", repr(e))
+            finally:
+                with self._query_cv:
+                    self._worker_busy = False
+                    self._query_cv.notify_all()
 
     def _find_keyframe(self, kf_id: int) -> Optional[KeyframeRecord]:
         with self._keyframes_lock:
@@ -510,7 +523,9 @@ class Estimator:
                     return kf
         return None
 
-    def _process_loop_query(self, query_kf_id: int):
+    def _process_loop_query(self, query_kf_id: int, gen: int = None):
+        if gen is None:
+            gen = self._generation
         query_kf = self._find_keyframe(query_kf_id)
         if query_kf is None:
             return
@@ -521,12 +536,13 @@ class Estimator:
             return
         self._pgo_in_progress = True
         try:
-            self._run_pgo_for_loop(query_kf, candidates)
+            self._run_pgo_for_loop(query_kf, candidates, gen)
         finally:
             self._pgo_in_progress = False
 
     def _run_pgo_for_loop(self, current_kf: KeyframeRecord,
-                          candidates: List[LoopCandidate]) -> bool:
+                          candidates: List[LoopCandidate],
+                          gen: int = None) -> bool:
         """reference run_pgo_for_loop (Estimator.cpp:959-1137)."""
         candidate = candidates[0]
         matched_kf = self._find_keyframe(candidate.match_keyframe_id)
@@ -612,6 +628,13 @@ class Estimator:
             last_optimized_kf_id=last_kf_id,
             optimized_poses=optimized,
             last_kf_correction=correction.astype(np.float32))
+        if gen is not None and gen != self._generation:
+            # reset() ran while this query was in flight (wait timed
+            # out): the kf ids in this result alias the NEW sequence's
+            # restarted ids — dropping it is the only safe move
+            log.warn("[Background] dropping stale PGO result (generation "
+                     "{} != {})", gen, self._generation)
+            return False
         with self._result_lock:
             self._pending_result = result
         if self.sync_loop:
@@ -804,6 +827,18 @@ class Estimator:
         serving/benchmark reset: a fresh sequence on a warm engine. The
         reference has no analog (its process lives per sequence); here a
         cold chunk-program build costs tens of seconds on a tunnel."""
+        # Quiesce the async worker FIRST: an in-flight _process_loop_query
+        # may still mutate loop_detector/keyframes and deposit a result
+        # keyed by OLD kf ids that alias the new sequence's restarted ids
+        # (round-3 advisor finding).
+        with self._query_cv:
+            self._query_queue.clear()
+            self._generation += 1
+            if not self._query_cv.wait_for(lambda: not self._worker_busy,
+                                           timeout=60.0):
+                log.warn("[Estimator] reset(): loop/PGO worker still busy "
+                         "after 60 s; stale results will be dropped by "
+                         "generation check")
         self.map_state = self.backend.empty()
         self.pose_graph = PoseGraphOptimizer(
             backend=self.pose_graph.backend)
@@ -819,8 +854,6 @@ class Estimator:
         self.last_successful_loop_kf_id = -1
         self._prev_pose = np.eye(4, dtype=np.float32)
         self._last_feat = self._last_mask = self._last_icp_guess = None
-        with self._query_cv:
-            self._query_queue.clear()
         with self._result_lock:
             self._pending_result = None
         self.timing_history = []

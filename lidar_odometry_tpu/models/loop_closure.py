@@ -81,13 +81,20 @@ class LoopClosureDetector:
     _MAX_CANDIDATES = 32
 
     def _ensure_db(self):
+        # capacity+1 rows: row `capacity` is a dedicated SCRATCH row for
+        # unknown-query extraction, so a full DB (db_n == capacity) never
+        # has a live row overwritten by a query (round-3 advisor: the
+        # old qi = min(db_n, capacity-1) permanently corrupted the
+        # newest stored descriptor once the DB filled, then self-matched
+        # it at similarity 0.0 — a fabricated loop constraint).
         if self._dev_img is None:
-            self._dev_img = jnp.zeros((self.capacity, iris.ROWS, iris.COLS),
+            rows = self.capacity + 1
+            self._dev_img = jnp.zeros((rows, iris.ROWS, iris.COLS),
                                       jnp.uint8)
             self._dev_T = jnp.zeros(
-                (self.capacity, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
+                (rows, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
             self._dev_M = jnp.zeros(
-                (self.capacity, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
+                (rows, iris.PACKED_WORDS, iris.COLS), jnp.uint32)
 
     @staticmethod
     @jax.jit
@@ -162,13 +169,14 @@ class LoopClosureDetector:
 
         # The query keyframe was just drained into the DB — its
         # descriptor is read by index on device; a query for an unknown
-        # keyframe (not produced by the pipeline) extracts into the
-        # scratch row past the live region.
+        # keyframe (not produced by the pipeline) extracts past the live
+        # region: row db_n while the DB has room, the dedicated scratch
+        # row `capacity` once it is full. Never a row < db_n.
         if query_kf_id in self._kf_ids:
             qi = self._kf_ids.index(query_kf_id)
         else:
             self._ensure_db()
-            qi = min(self._db_n, self.capacity - 1)
+            qi = min(self._db_n, self.capacity)
             self._dev_img, self._dev_T, self._dev_M = self._extract_store(
                 jnp.asarray(query_cloud)[None], jnp.asarray(query_mask)[None],
                 self._dev_img, self._dev_T, self._dev_M, jnp.int32(qi))
@@ -256,20 +264,27 @@ class LoopClosureDetector:
     def import_state(self, state: dict) -> None:
         self.clear()
         n = len(state["iris_kf_ids"])
-        if n:
+        if n > self.capacity:
+            # keep host ids/positions and device rows in lockstep: a
+            # kf_id kept past a truncated device row would clamp-gather
+            # the wrong descriptor (round-3 advisor finding)
+            log.warn("[LoopClosureDetector] checkpoint has {} descriptors, "
+                     "capacity {}: truncating", n, self.capacity)
+        n_used = min(n, self.capacity)
+        if n_used:
             self._ensure_db()
-            pad = self.capacity - n
+            pad = self.capacity + 1 - n_used
             self._dev_img = jnp.asarray(np.concatenate(
-                [state["iris_img"][:self.capacity],
-                 np.zeros((max(pad, 0), iris.ROWS, iris.COLS), np.uint8)]))
+                [state["iris_img"][:n_used],
+                 np.zeros((pad, iris.ROWS, iris.COLS), np.uint8)]))
             self._dev_T = jnp.asarray(np.concatenate(
-                [state["iris_T"][:self.capacity],
-                 np.zeros((max(pad, 0), iris.PACKED_WORDS, iris.COLS),
+                [state["iris_T"][:n_used],
+                 np.zeros((pad, iris.PACKED_WORDS, iris.COLS),
                           np.uint32)]))
             self._dev_M = jnp.asarray(np.concatenate(
-                [state["iris_M"][:self.capacity],
-                 np.zeros((max(pad, 0), iris.PACKED_WORDS, iris.COLS),
+                [state["iris_M"][:n_used],
+                 np.zeros((pad, iris.PACKED_WORDS, iris.COLS),
                           np.uint32)]))
-        self._kf_ids = [int(k) for k in state["iris_kf_ids"]]
-        self._positions = [state["iris_positions"][i] for i in range(n)]
-        self._db_n = min(n, self.capacity)
+        self._kf_ids = [int(k) for k in state["iris_kf_ids"][:n_used]]
+        self._positions = [state["iris_positions"][i] for i in range(n_used)]
+        self._db_n = n_used

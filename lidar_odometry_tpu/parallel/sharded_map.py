@@ -271,7 +271,12 @@ def robust_icp_loop(local_state: vm.VoxelMapState, p, m, T0, cap: int,
     from ..ops.icp import _robust_weights
 
     me = jax.lax.axis_index(mesh_axis)
-    use_pko = cfg.use_adaptive_m_estimator and pko_consts is not None
+    # PKO only picks the robust-kernel scale — with use_robust_loss=False
+    # the single-chip engine uses UNIT weights regardless of the
+    # m-estimator flag (icp.py _gn_step), so the per-alpha machinery must
+    # be bypassed too or the backends diverge (round-3 advisor finding).
+    use_pko = (cfg.use_robust_loss and cfg.use_adaptive_m_estimator
+               and pko_consts is not None)
 
     R0, t0 = lie.se3_rt(T0)
     owner = owner_of_points(p @ R0.T + t0[None, :], n_shards,

@@ -109,3 +109,74 @@ def test_loop_detector_scales_to_500_keyframes():
     # the whole 500-candidate batched compare (CPU here) must be seconds,
     # not the minutes a sequential per-pair scan would take
     assert dt < 60.0, dt
+
+
+def test_full_db_query_never_corrupts_live_rows():
+    """Round-3 advisor (high): with db_n == capacity, an unknown-query
+    extraction used to overwrite LIVE row capacity-1 and then self-match
+    it at similarity 0.0 — a fabricated loop closure. The scratch row
+    must live PAST the live region and repeated full-DB queries must
+    leave every stored descriptor intact."""
+    import numpy as np
+    from lidar_odometry_tpu.models.loop_closure import (
+        LoopClosureConfig, LoopClosureDetector)
+    cap = 8
+    det = LoopClosureDetector(LoopClosureConfig(
+        min_keyframe_gap=2, max_search_distance=1e9,
+        similarity_threshold=0.05), capacity=cap)
+    rng = np.random.default_rng(5)
+    mask = np.ones(1200, bool)
+    clouds = [rng.uniform(-20, 20, (1200, 3)).astype(np.float32)
+              for _ in range(cap)]
+    for k, c in enumerate(clouds):
+        det.add_keyframe(c, mask, k, np.zeros(3, np.float32))
+    det._drain_pending()
+    assert det._db_n == cap
+    before = np.asarray(det._dev_img)[:cap].copy()
+
+    # an UNRELATED query against the full DB, repeated (each one used to
+    # clobber row cap-1 in turn)
+    q = rng.uniform(-20, 20, (1200, 3)).astype(np.float32)
+    for qid in (100, 101):
+        out = det.detect_loop_closures(q, mask, qid, np.zeros(3, np.float32))
+        # a random cloud must not match anything at threshold 0.05 —
+        # the corrupted-row bug produced a guaranteed 0.0 self-match
+        assert out == []
+    after = np.asarray(det._dev_img)[:cap]
+    np.testing.assert_array_equal(before, after)
+
+    # the query keyframe's OWN stored descriptor still matches itself
+    out = det.detect_loop_closures(clouds[0], mask, 50,
+                                   np.zeros(3, np.float32))
+    assert len(out) == 1 and out[0].match_keyframe_id == 0
+
+
+def test_import_state_truncates_host_lists_with_device_rows():
+    """Round-3 advisor (low): a checkpoint larger than capacity must
+    truncate _kf_ids/_positions in lockstep with the device rows, or a
+    later query clamp-gathers the wrong descriptor."""
+    import numpy as np
+    from lidar_odometry_tpu.models.loop_closure import (
+        LoopClosureConfig, LoopClosureDetector)
+    big = LoopClosureDetector(LoopClosureConfig(
+        min_keyframe_gap=2, max_search_distance=1e9,
+        similarity_threshold=0.9), capacity=16)
+    rng = np.random.default_rng(6)
+    mask = np.ones(800, bool)
+    for k in range(12):
+        big.add_keyframe(rng.uniform(-20, 20, (800, 3)).astype(np.float32),
+                         mask, k, np.zeros(3, np.float32))
+    state = big.export_state()
+
+    small = LoopClosureDetector(LoopClosureConfig(
+        min_keyframe_gap=2, max_search_distance=1e9,
+        similarity_threshold=0.9), capacity=8)
+    small.import_state(state)
+    assert small._db_n == 8
+    assert len(small._kf_ids) == 8
+    assert len(small._positions) == 8
+    # queries still work against the truncated DB
+    out = small.detect_loop_closures(
+        rng.uniform(-20, 20, (800, 3)).astype(np.float32), mask, 99,
+        np.zeros(3, np.float32))
+    assert isinstance(out, list)
