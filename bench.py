@@ -145,6 +145,15 @@ def main():
         t0 = time.perf_counter()
         cb, (pb0, _, _) = boot(cb, chunk0)
         jax.block_until_ready(pb0)
+        # warm the block=4 program too — its first call used to compile
+        # INSIDE the timed loop (round-3 VERDICT weak item 2), charging
+        # ~60 s of XLA against the steady-state number. A throwaway
+        # carry is compiled-against and discarded (the carry is donated,
+        # so the real one cannot be reused for warmup).
+        cb_w = fp.init_blocked_carry(B, 262144 * B, 65536 * B)
+        cb_w, (pw, _, _) = blocked(cb_w, chunk0)
+        jax.block_until_ready(pw)
+        del cb_w, pw
         print(f"# blocked B={B} warmup: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         out_b = [np.asarray(pb0)]

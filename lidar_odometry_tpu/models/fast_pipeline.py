@@ -236,8 +236,9 @@ def make_blocked_runner(icp_cfg: icp_ops.ICPConfig,
     lane_axes = OdomCarry(map_state=None, T_prev=0, velocity=0,
                           last_kf_pose=0, initialized=0, kf_count=0)
 
-    def block_body(carry: OdomCarry, scans_blk):
+    def block_body(carry: OdomCarry, xs):
         # scans_blk (block, B, N, 3); frames stay sequential, lanes vmap
+        scans_blk, blk_i = xs
         outs = []
         ins_pts, ins_msk = [], []
         for j in range(block):
@@ -261,12 +262,38 @@ def make_blocked_runner(icp_cfg: icp_ops.ICPConfig,
         pts_all = jnp.concatenate(ins_pts).reshape(-1, 3)
         msk_all = jnp.concatenate(ins_msk).reshape(-1)
         sensors = carry.T_prev[:, :3, 3]             # (B, 3) lane sensors
+        # Compact LIVE inserts before the update: the raw concat is
+        # block*B*scan_capacity slots but only keyframe lane-frames are
+        # unmasked (~1 keyframe per lane per block at steady state), so
+        # >60% of every per-point pass in update_map processed dead
+        # slots. Cap = 1.5 keyframes per lane per block; overflow (only
+        # if >6 of 16 lane-frames keyframe at once) drops points
+        # VISIBLY into n_dropped.
+        p_raw = pts_all.shape[0]
+        ins_cap = (batch * ins_pts[0].shape[-2] * 3) // 2
+        if ins_cap < p_raw:
+            keep_idx, n_live = vm._compact(msk_all, ins_cap)
+            ok = keep_idx >= 0
+            ki = jnp.clip(keep_idx, 0, p_raw - 1)
+            pts_all = jnp.where(ok[:, None], pts_all[ki], 0.0)
+            msk_all = ok
+            overflow = jnp.maximum(n_live - ins_cap, 0)
+        else:
+            overflow = jnp.int32(0)
+        # the full-table radius-eviction scan runs on every 4th block
+        # only — the blocked runner updates ~5x more often than the
+        # single-stream keyframe cadence, and eviction is already a
+        # deferred process (caps), so striding it merely delays
+        # individual evictions by <=3 blocks
         map_state = vm.update_map(
             carry.map_state, pts_all, msk_all, sensors,
             jnp.float32(max_distance),
             voxel_size=icp_cfg.voxel_size,
             planarity_threshold=planarity_threshold,
-            hierarchy_factor=icp_cfg.hierarchy_factor)
+            hierarchy_factor=icp_cfg.hierarchy_factor,
+            evict_enabled=(blk_i % 4 == 0))
+        map_state = map_state._replace(
+            n_dropped=map_state.n_dropped + overflow)
         carry = carry._replace(map_state=map_state)
         T_s = jnp.stack([o[0] for o in outs])        # (block, B, 4, 4)
         kf_s = jnp.stack([o[1] for o in outs])
@@ -277,7 +304,9 @@ def make_blocked_runner(icp_cfg: icp_ops.ICPConfig,
     def chunk(carry: OdomCarry, scans):
         b, f, n, _ = scans.shape
         blk = jnp.swapaxes(scans, 0, 1).reshape(f // block, block, b, n, 3)
-        carry, (T, kf, nc) = jax.lax.scan(block_body, carry, blk)
+        blk_ids = jnp.arange(f // block, dtype=jnp.int32)
+        carry, (T, kf, nc) = jax.lax.scan(block_body, carry,
+                                          (blk, blk_ids))
         # (F/block, block, B, ...) -> (B, F, ...)
         def fix(a):
             a = a.reshape((f,) + a.shape[2:])

@@ -97,7 +97,14 @@ def _scaled_caps(c1: int, p: int):
     inserts count into n_dropped."""
     evict_cap = max(256, min(EVICT_LIST, c1 // 32))
     zero_cap = max(1024, min(CH_CAP, c1 // 8))
-    small_cap = max(256, min(SMALL_CAP, max(c1 // 16, p // 4)))
+    # Floor grows with p: a blocked multi-lane update (fast_pipeline
+    # make_blocked_runner, p = block*B*scan_capacity) lands B keyframes'
+    # worth of novelty per call (~2k voxels each), and a fixed 4096 cap
+    # pushed EVERY steady block into the bulk tier whose machinery
+    # scales with p itself — measured 92 vs 541 scans/s at B=4. At
+    # single-chip scan shapes (p=14k) the floor keeps today's 4096.
+    small_cap = max(256, min(max(SMALL_CAP, p // 8),
+                             max(c1 // 16, p // 4)))
     return evict_cap, zero_cap, small_cap
 
 
@@ -343,14 +350,20 @@ def _block_stats(blk):
 def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
                sensor_pos: jax.Array, max_distance, *, voxel_size,
                planarity_threshold, hierarchy_factor: int = 3,
-               compute_surfels: bool = True) -> VoxelMapState:
+               compute_surfels: bool = True,
+               evict_enabled=None) -> VoxelMapState:
     """Per-keyframe map update (reference VoxelMap::UpdateVoxelMap,
     VoxelMap.cpp:128-262) as a sort+gather/scatter program.
 
     `sensor_pos` is (3,) — or (S, 3) for multi-sequence shared maps
     (models/fast_pipeline blocked runner): eviction then tests the MIN
     distance over the S sensors, which is exact per-lane semantics when
-    the lanes' regions are separated by more than the eviction radius."""
+    the lanes' regions are separated by more than the eviction radius.
+
+    `evict_enabled` (traced bool scalar, default on) gates the WHOLE
+    radius-eviction stage including its full-table scan — high-rate
+    callers (the blocked multi-sequence runner) stride it to every few
+    updates, which only delays evictions the caps already defer."""
     c1 = state.l1_meta.shape[0]
     nrows = c1 * NCH
     p = new_pts.shape[0]
@@ -382,12 +395,7 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # lost). A cheaper key-based parent prefilter was tried and
     # rejected: never-evicting margin-band parents saturate the
     # candidate list and stall real evictions behind them. ----
-    cnt_all = l0_data[:, 0]
-    # no divide: |sum/cnt - s|^2 > d^2  <=>  |sum - cnt*s|^2 > d^2*cnt^2
-    d2cnt = min_d2cnt(l0_data[:, 1:4], cnt_all)
     maxd2 = max_distance * max_distance
-    ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
-    cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
 
     # The compaction + block-gather + zeroing machinery below costs a
     # few ms even when NOTHING evicts (it is shape-bound, not
@@ -396,7 +404,17 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
     # The no-evict branch's identity cost is one pass over the carried
     # buffers (~0.2 ms at bench capacity), 10x cheaper than the
     # machinery.
-    def do_evict(args):
+    def evict_stage(args):
+        l0_data, l1_meta, n_l0 = args
+        cnt_all = l0_data[:, 0]
+        # no divide: |sum/cnt-s|^2 > d^2  <=>  |sum-cnt*s|^2 > d^2*cnt^2
+        d2cnt = min_d2cnt(l0_data[:, 1:4], cnt_all)
+        ev_row = (cnt_all > 0.0) & (d2cnt > maxd2 * cnt_all * cnt_all)
+        cand_evict = jnp.any(ev_row.reshape(c1, NCH), axis=1)
+        return jax.lax.cond(jnp.any(cand_evict),
+                            partial(do_evict, cand_evict), no_evict, args)
+
+    def do_evict(cand_evict, args):
         l0_data, l1_meta, n_l0 = args
         ev_list, _ = _compact(cand_evict, evict_list)
         ev_ok = ev_list >= 0
@@ -444,8 +462,14 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
         return (l0_data, l1_meta, n_l0,
                 jnp.full((evict_list,), -1, jnp.int32))
 
-    l0_data, l1_meta, n_l0, evpar = jax.lax.cond(
-        jnp.any(cand_evict), do_evict, no_evict, (l0_data, l1_meta, n_l0))
+    if evict_enabled is None:
+        l0_data, l1_meta, n_l0, evpar = evict_stage(
+            (l0_data, l1_meta, n_l0))
+    else:
+        # the gate skips even the full-table candidate scan
+        l0_data, l1_meta, n_l0, evpar = jax.lax.cond(
+            jnp.asarray(evict_enabled, bool), evict_stage, no_evict,
+            (l0_data, l1_meta, n_l0))
 
     # ---- Step 2: keys of the incoming points ----
     inv = 1.0 / voxel_size
