@@ -139,6 +139,61 @@ def prior_error(T, measured):
     return err, np.eye(6)
 
 
+# ---- batched linearization (vectorized over factors; the per-factor
+# python path cost ~0.1 ms/factor in meshgrid/log branches — 250 ms per
+# solve at 340 keyframes, most of the loop worker's host budget) ----
+
+def _skew_batch(v):
+    N = v.shape[0]
+    S = np.zeros((N, 3, 3))
+    S[:, 0, 1], S[:, 0, 2] = -v[:, 2], v[:, 1]
+    S[:, 1, 0], S[:, 1, 2] = v[:, 2], -v[:, 0]
+    S[:, 2, 0], S[:, 2, 1] = -v[:, 1], v[:, 0]
+    return S
+
+
+def _se3_log_batch(R, t):
+    """Batched se3_log: (N,3,3),(N,3) -> (N,6) in [w, u] order."""
+    tr = np.trace(R, axis1=1, axis2=2)
+    theta = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    w_raw = np.stack([R[:, 2, 1] - R[:, 1, 2],
+                      R[:, 0, 2] - R[:, 2, 0],
+                      R[:, 1, 0] - R[:, 0, 1]], axis=1)
+    small = theta < _EPS
+    fac = np.where(small, 0.5,
+                   theta / np.maximum(2.0 * np.sin(theta), _EPS))
+    w = w_raw * fac[:, None]
+    th_safe = np.where(small, 1.0, theta)
+    W = _skew_batch(w / th_safe[:, None])
+    Wt = np.einsum("nij,nj->ni", W, t)
+    WWt = np.einsum("nij,nj->ni", W, Wt)
+    tan_half = np.tan(0.5 * theta)
+    coef = 1.0 - theta / np.maximum(2.0 * tan_half, _EPS)
+    u = t - (0.5 * theta)[:, None] * Wt + coef[:, None] * WWt
+    u = np.where(small[:, None], t, u)
+    return np.concatenate([w, u], axis=1)
+
+
+def _between_error_batch(T_from, T_to, measured):
+    """Batched between_error: (N,4,4)x3 -> err (N,6), J_from (N,6,6)
+    (J_to = I for every factor, reference :463-498)."""
+    R_from, t_from = T_from[:, :3, :3], T_from[:, :3, 3]
+    R_to, t_to = T_to[:, :3, :3], T_to[:, :3, 3]
+    R_m, t_m = measured[:, :3, :3], measured[:, :3, 3]
+    R_hx = np.einsum("nji,njk->nik", R_from, R_to)
+    t_hx = np.einsum("nji,nj->ni", R_from, t_to - t_from)
+    R_err = np.einsum("nji,njk->nik", R_m, R_hx)
+    t_err = np.einsum("nji,nj->ni", R_m, t_hx - t_m)
+    err = _se3_log_batch(R_err, t_err)
+    R_hx_inv = np.swapaxes(R_hx, 1, 2)
+    t_hx_inv = -np.einsum("nij,nj->ni", R_hx_inv, t_hx)
+    Ad = np.zeros((len(err), 6, 6))
+    Ad[:, :3, :3] = R_hx_inv
+    Ad[:, 3:, :3] = np.einsum("nij,njk->nik", _skew_batch(t_hx_inv), R_hx_inv)
+    Ad[:, 3:, 3:] = R_hx_inv
+    return err, -Ad
+
+
 class PoseGraphOptimizer:
     """Incremental-build, batch-solve pose graph (reference public API at
     PoseGraphOptimizer.h:91-106). Thread-safe like the reference (a mutex
@@ -241,41 +296,59 @@ class PoseGraphOptimizer:
     # ---- solver (reference optimize :326-390) ----
 
     def _build_linear_system(self, n_vars):
-        rows, cols, vals = [], [], []
+        """Vectorized over factors: batched error/Jacobian evaluation +
+        one COO assembly (the per-factor python path cost ~250 ms per
+        solve at 340 keyframes — most of the async loop worker's host
+        budget, round-4 profiling)."""
         b = np.zeros(n_vars * 6)
+        blk_r, blk_c = np.meshgrid(np.arange(6), np.arange(6),
+                                   indexing="ij")
+        all_i, all_j, all_B = [], [], []
 
-        def add_block(i, j, B):
-            r, c = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
-            rows.append((i * 6 + r).ravel())
-            cols.append((j * 6 + c).ravel())
-            vals.append(B.ravel())
+        if self._priors:
+            for prior in self._priors:
+                kf_id = self._keyframe_ids[prior.key]
+                err, J = prior_error(self._poses[kf_id], prior.measured)
+                Jw = prior.sqrt_info @ J
+                ew = prior.sqrt_info @ err
+                all_i.append(prior.key)
+                all_j.append(prior.key)
+                all_B.append(Jw.T @ Jw)
+                b[prior.key * 6: prior.key * 6 + 6] -= Jw.T @ ew
 
-        for prior in self._priors:
-            kf_id = self._keyframe_ids[prior.key]
-            err, J = prior_error(self._poses[kf_id], prior.measured)
-            Jw = prior.sqrt_info @ J
-            ew = prior.sqrt_info @ err
-            add_block(prior.key, prior.key, Jw.T @ Jw)
-            b[prior.key * 6: prior.key * 6 + 6] -= Jw.T @ ew
+        if self._betweens:
+            ki = np.array([bt.key_from for bt in self._betweens])
+            kj = np.array([bt.key_to for bt in self._betweens])
+            T_from = np.stack([self._poses[self._keyframe_ids[i]]
+                               for i in ki])
+            T_to = np.stack([self._poses[self._keyframe_ids[j]]
+                             for j in kj])
+            meas = np.stack([bt.measured for bt in self._betweens])
+            sq = np.stack([bt.sqrt_info for bt in self._betweens])
+            err, J_from = _between_error_batch(T_from, T_to, meas)
+            Jw_f = np.einsum("nab,nbc->nac", sq, J_from)
+            Jw_t = sq                                  # J_to = I
+            ew = np.einsum("nab,nb->na", sq, err)
+            all_i.extend([ki, kj, ki, kj])
+            all_j.extend([ki, kj, kj, ki])
+            all_B.extend([
+                np.einsum("nba,nbc->nac", Jw_f, Jw_f),
+                np.einsum("nba,nbc->nac", Jw_t, Jw_t),
+                np.einsum("nba,nbc->nac", Jw_f, Jw_t),
+                np.einsum("nba,nbc->nac", Jw_t, Jw_f)])
+            g_f = np.einsum("nba,nb->na", Jw_f, ew)
+            g_t = np.einsum("nba,nb->na", Jw_t, ew)
+            np.subtract.at(b.reshape(n_vars, 6), ki, g_f)
+            np.subtract.at(b.reshape(n_vars, 6), kj, g_t)
 
-        for bt in self._betweens:
-            kf_f = self._keyframe_ids[bt.key_from]
-            kf_t = self._keyframe_ids[bt.key_to]
-            err, J_from, J_to = between_error(
-                self._poses[kf_f], self._poses[kf_t], bt.measured)
-            Jw_f = bt.sqrt_info @ J_from
-            Jw_t = bt.sqrt_info @ J_to
-            ew = bt.sqrt_info @ err
-            add_block(bt.key_from, bt.key_from, Jw_f.T @ Jw_f)
-            add_block(bt.key_to, bt.key_to, Jw_t.T @ Jw_t)
-            add_block(bt.key_from, bt.key_to, Jw_f.T @ Jw_t)
-            add_block(bt.key_to, bt.key_from, Jw_t.T @ Jw_f)
-            b[bt.key_from * 6: bt.key_from * 6 + 6] -= Jw_f.T @ ew
-            b[bt.key_to * 6: bt.key_to * 6 + 6] -= Jw_t.T @ ew
-
-        H = sp.csc_matrix(
-            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-            shape=(n_vars * 6, n_vars * 6))
+        bi = np.concatenate([np.atleast_1d(i) for i in all_i])
+        bj = np.concatenate([np.atleast_1d(j) for j in all_j])
+        Bv = np.concatenate([np.asarray(B).reshape(-1, 6, 6)
+                             for B in all_B])
+        rows = (bi[:, None, None] * 6 + blk_r[None]).ravel()
+        cols = (bj[:, None, None] * 6 + blk_c[None]).ravel()
+        H = sp.csc_matrix((Bv.ravel(), (rows, cols)),
+                          shape=(n_vars * 6, n_vars * 6))
         return H, b
 
     def _optimize(self, max_iterations=10, convergence_threshold=1e-6) -> bool:

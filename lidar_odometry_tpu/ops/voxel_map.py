@@ -916,18 +916,34 @@ def transform_and_rehash(state: VoxelMapState, T: jax.Array, *, voxel_size,
     """PGO correction: transform every L0 centroid, re-key, merge
     collisions by weighted centroid, recompute ALL surfels (reference
     ApplyTransformAndRehash + RecomputeAllSurfels, VoxelMap.cpp:264-366).
-    Rare op: sort-based bulk rebuild into a fresh map."""
+    Rare op: sort-based bulk rebuild into a fresh map.
+
+    Live records are COMPACTED to 4 children/parent-slot capacity before
+    the rebuild: the child table has c1*27 rows but real maps occupy a
+    few % of them, and every one of the ~15 indexed passes in bulk_build
+    scales with the record count (the uncompacted rebuild measured
+    276 ms per accepted loop on v5e — most of the loop-enabled
+    throughput gap). Maps denser than 4 children/slot on average drop
+    the excess VISIBLY into n_dropped."""
     c1 = state.l1_meta.shape[0]
+    m = c1 * NCH
+    cap = min(4 * c1, m)
     cnt = state.l0_data[:, 0]
     live = cnt > 0.0
-    centroid = state.l0_data[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
+    live_idx, n_live = _compact(live, cap)
+    ok = live_idx >= 0
+    li = jnp.clip(live_idx, 0, m - 1)
+    rows = state.l0_data[li]
+    c_cnt = jnp.where(ok, rows[:, 0], 0.0)
+    c_cen = rows[:, 1:4] / jnp.maximum(c_cnt, 1.0)[:, None]
     R, t = T[:3, :3], T[:3, 3]
-    new_centroid = centroid @ R.T + t[None, :]
-    return bulk_build(new_centroid, cnt, live, c1 * NCH, c1,
+    new_centroid = c_cen @ R.T + t[None, :]
+    return bulk_build(new_centroid, c_cnt, ok, cap, c1,
                       voxel_size=voxel_size,
                       planarity_threshold=planarity_threshold,
                       hierarchy_factor=hierarchy_factor,
-                      n_dropped=state.n_dropped)
+                      n_dropped=state.n_dropped
+                      + jnp.maximum(n_live - cap, 0))
 
 
 @partial(jax.jit, static_argnames=("c0", "c1", "hierarchy_factor"))
