@@ -106,6 +106,8 @@ def restore(path: str, config: SystemConfig, sync_loop: bool = False) -> Estimat
             feature_mask=data["kf.masks"][i],
             frame_index=int(data["kf.frame_index"][i])))
     est.keyframes = kfs
+    # restored clouds re-tier immediately (window_size sliding window)
+    est._spill_old_keyframes()
 
     frames = []
     for i in range(len(data["fr.kf_ref"])):
