@@ -806,17 +806,28 @@ def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
     return row[:, 0:3], row[:, 3:6], valid
 
 
-@partial(jax.jit, static_argnames=("hierarchy_factor",))
+@partial(jax.jit, static_argnames=("hierarchy_factor", "radius"))
 def grid_knn_neighbors(state: VoxelMapState, pts: jax.Array, *, voxel_size,
-                       hierarchy_factor: int = 3):
-    """L0 centroids of each query's 3x3x3 voxel neighborhood (KD-tree-mode
+                       hierarchy_factor: int = 3, radius: int = 1):
+    """L0 centroids of each query's voxel neighborhood (KD-tree-mode
     candidates, replacing nanoflann 5-NN,
     IterativeClosestPointOptimizer.cpp:696-703). Each neighbor voxel
     resolves through the PARENT index: one bucket gather + one child-row
-    gather. Returns (neighbors (N, 27, 3), valid (N, 27))."""
+    gather. radius=1 probes the 3x3x3 cube (27 candidates), radius=2 the
+    5x5x5 cube (125 — the reference's UNBOUNDED tree search finds 5-NN
+    at any distance; on sparse/grazing geometry the 27-cube often has
+    <5 occupied voxels, dropping the correspondence entirely).
+    Returns (neighbors (N, K, 3), valid (N, K))."""
     inv = 1.0 / voxel_size
     qc = K.voxel_coords(pts, inv)
-    nb = qc[:, None, :] + jnp.asarray(_NB_OFFS)[None, :, :]
+    if radius == 1:
+        offs = jnp.asarray(_NB_OFFS)
+    else:
+        r = np.arange(-radius, radius + 1)
+        offs = jnp.asarray(np.stack(
+            np.meshgrid(r, r, r, indexing="ij"),
+            axis=-1).reshape(-1, 3).astype(np.int32))
+    nb = qc[:, None, :] + offs[None, :, :]
     par = jnp.floor_divide(nb, hierarchy_factor)
     off = _child_offset_of(nb)
     nhi, nlo = K.pack_key(par)
