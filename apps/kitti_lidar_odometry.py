@@ -33,6 +33,10 @@ def main() -> int:
                     help="shard the voxel map over N devices (multi-chip "
                          "pipeline: distributed ICP + shard-local updates "
                          "+ distributed Schur PGO)")
+    ap.add_argument("--live-viewer", type=int, nargs="?", const=8123,
+                    default=None, metavar="PORT",
+                    help="serve a live 3D view (trajectory/map/scan + "
+                         "auto/step/finish controls) on localhost:PORT")
     args = ap.parse_args()
 
     print("=" * 60)
@@ -41,8 +45,16 @@ def main() -> int:
 
     cfg = load_config(args.config)
     player = KittiPlayer(cfg)
+    lv = None
+    if args.live_viewer is not None:
+        from lidar_odometry_tpu.viewer import LiveViewer
+        lv = LiveViewer(port=args.live_viewer)
     result = player.run(start=args.start, end=args.end, skip=args.skip,
-                        sync_loop=args.sync_loop, shards=args.shards)
+                        sync_loop=args.sync_loop, shards=args.shards,
+                        live_viewer=lv)
+    if lv is not None:
+        lv.update(player.estimator) if player.estimator else None
+        lv.close()
     if result.frames_processed == 0:
         return 1
 

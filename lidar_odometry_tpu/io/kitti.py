@@ -172,11 +172,16 @@ class KittiPlayer:
 
     def run(self, start: int = 0, end: Optional[int] = None, skip: int = 1,
             sync_loop: bool = False, prefetch: bool = True,
-            shards: int = 0) -> KittiPlayerResult:
+            shards: int = 0, live_viewer=None) -> KittiPlayerResult:
         """`shards` > 0 runs the SAME pipeline with the voxel map sharded
         over that many devices (BASELINE config 5: distributed robust
         ICP, shard-local updates, distributed Schur PGO), via
-        models/map_backend.ShardedMapBackend."""
+        models/map_backend.ShardedMapBackend.
+
+        `live_viewer` — a viewer.LiveViewer: the frame loop then honors
+        its auto/step/finish controls and pushes a state snapshot every
+        few frames (the reference player's viewer handoff,
+        kitti_player.cpp:428-511)."""
         result = KittiPlayerResult()
         files = self.bin_files()
         if not files:
@@ -200,6 +205,9 @@ class KittiPlayer:
         loader = native_io.Prefetcher(files) if prefetch else None
         t_run = time.perf_counter()
         for i, path in enumerate(files):
+            if live_viewer is not None and not live_viewer.wait_if_stepping():
+                log.info("[KittiPlayer] finish requested by viewer")
+                break
             t0 = time.perf_counter()
             cloud = loader.next() if loader else load_kitti_binary(path)
             try:
@@ -207,6 +215,9 @@ class KittiPlayer:
             except Exception as e:  # per-frame try/catch (ply_player.cpp:513-515)
                 log.error("[KittiPlayer] frame {} failed: {}", i, repr(e))
             result.per_frame_ms.append((time.perf_counter() - t0) * 1e3)
+            if live_viewer is not None and (i % 5 == 0 or live_viewer._mode
+                                            == "step"):
+                live_viewer.update(self.estimator)
         result.total_time_s = time.perf_counter() - t_run
         result.frames_processed = len(files)
         result.fps = len(files) / max(result.total_time_s, 1e-9)

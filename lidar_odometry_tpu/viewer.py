@@ -136,3 +136,207 @@ def export_state(out_dir: str, estimator) -> None:
     render_snapshot(os.path.join(out_dir, "snapshot.png"),
                     map_points=estimator.map_points(), trajectory=traj,
                     keyframe_positions=kf_pos)
+
+
+_LIVE_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>lidar_odometry_tpu live</title>
+<style>
+ body{margin:0;background:#101014;color:#ddd;font:13px monospace;overflow:hidden}
+ #hud{position:fixed;top:8px;left:8px;background:#000a;padding:8px 10px;border-radius:6px}
+ button{font:12px monospace;margin-right:6px;background:#2a2a33;color:#ddd;
+        border:1px solid #555;border-radius:4px;padding:3px 10px;cursor:pointer}
+ button:hover{background:#3a3a46}
+ #help{position:fixed;bottom:8px;left:8px;color:#888}
+</style></head><body>
+<canvas id="cv"></canvas>
+<div id="hud">
+ <div id="stats">connecting...</div>
+ <div style="margin-top:6px">
+  <button onclick="ctl('auto')">auto</button>
+  <button onclick="ctl('step')">step</button>
+  <button onclick="ctl('finish')">finish</button>
+ </div>
+</div>
+<div id="help">drag: orbit &middot; wheel: zoom &middot; shift-drag: pan</div>
+<script>
+const cv=document.getElementById('cv'),cx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}rs();
+addEventListener('resize',rs);
+let yaw=-0.7,pitch=0.9,dist=120,panx=0,pany=0,drag=0,px=0,py=0;
+cv.onmousedown=e=>{drag=e.shiftKey?2:1;px=e.clientX;py=e.clientY};
+addEventListener('mouseup',()=>drag=0);
+addEventListener('mousemove',e=>{if(!drag)return;
+ const dx=e.clientX-px,dy=e.clientY-py;px=e.clientX;py=e.clientY;
+ if(drag==1){yaw+=dx*0.008;pitch=Math.max(0.05,Math.min(1.55,pitch+dy*0.008));}
+ else{panx-=dx*dist*0.002;pany+=dy*dist*0.002;}});
+cv.onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();};
+let S=null;
+function proj(p){
+ const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ let x=p[0]-panx,y=p[1]-pany,z=p[2];
+ let u=cy*x+sy*y, v=-sy*x+cy*y;
+ let w=cp*v+sp*z, d=-sp*v+cp*z+dist;
+ if(d<0.5)return null;
+ const f=0.9*Math.min(W,H)/d;
+ return [W/2+u*f, H/2-w*f, f];
+}
+function dots(pts,col,r){cx.fillStyle=col;
+ for(const p of pts){const q=proj(p);if(!q)continue;
+  cx.fillRect(q[0]-r,q[1]-r,2*r,2*r);}}
+function line(pts,col){cx.strokeStyle=col;cx.lineWidth=1.6;cx.beginPath();
+ let first=1;for(const p of pts){const q=proj(p);if(!q){first=1;continue;}
+  if(first){cx.moveTo(q[0],q[1]);first=0;}else cx.lineTo(q[0],q[1]);}
+ cx.stroke();}
+function draw(){cx.fillStyle='#101014';cx.fillRect(0,0,W,H);
+ if(S){
+  if(S.map)dots(S.map,'#4f7f9f',1);
+  if(S.scan)dots(S.scan,'#d8d44f',1);
+  if(S.kf)dots(S.kf,'#ffffff',2);
+  if(S.traj)line(S.traj,'#ef5350');
+  if(S.traj&&S.traj.length){const q=proj(S.traj[S.traj.length-1]);
+   if(q){cx.strokeStyle='#ef5350';cx.beginPath();
+    cx.arc(q[0],q[1],6,0,6.3);cx.stroke();}}
+ }
+ requestAnimationFrame(draw);}
+draw();
+async function poll(){try{
+  const r=await fetch('state.json');S=await r.json();
+  document.getElementById('stats').textContent=
+   `frame ${S.frame}  kf ${S.n_kf}  map ${S.n_map}  loops ${S.loops}  mode ${S.mode}`;
+ }catch(e){}
+ setTimeout(poll,500);}
+poll();
+function ctl(m){fetch('control?mode='+m,{method:'POST'});}
+</script></body></html>"""
+
+
+class LiveViewer:
+    """Minimal LIVE viewer (the reference PangolinViewer's render thread +
+    auto/step UI, PangolinViewer.cpp:85-129, .h:216-229) as a local HTTP
+    server with a self-contained canvas renderer — no GUI stack, no
+    external assets, works over an SSH port-forward to a headless TPU
+    host. Serves:
+
+      /            the 3D view (orbit/zoom/pan; trajectory, map points,
+                   current scan, keyframes)
+      /state.json  the latest snapshot (downsampled)
+      /control     auto/step/finish buttons -> the player's frame loop
+                   (mirrors handle_viewer_controls, kitti_player.cpp:511)
+
+    Data handoff mirrors the reference's mutex + per-frame snapshot copy
+    (PangolinViewer.cpp:216-224): `update(est)` snapshots host state
+    under the estimator's keyframes lock; the server thread only reads
+    the latest snapshot."""
+
+    def __init__(self, port: int = 8123, max_map_points: int = 60000,
+                 max_scan_points: int = 20000):
+        import http.server
+        import json as _json
+        import threading
+
+        self.port = port
+        self.max_map = max_map_points
+        self.max_scan = max_scan_points
+        self._lock = threading.Lock()
+        self._state_bytes = b"{}"
+        self._mode = "auto"
+        self._pending_steps = 0
+        viewer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/state.json"):
+                    with viewer._lock:
+                        body = viewer._state_bytes
+                    self._send(200, body, "application/json")
+                else:
+                    self._send(200, _LIVE_HTML.encode(), "text/html")
+
+            def do_POST(self):
+                if self.path.startswith("/control"):
+                    mode = self.path.split("mode=")[-1]
+                    with viewer._lock:
+                        if mode == "step":
+                            viewer._mode = "step"
+                            viewer._pending_steps += 1
+                        elif mode in ("auto", "finish"):
+                            viewer._mode = mode
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(404, b"", "text/plain")
+
+        self._json = _json
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port),
+                                                      Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        log.info("[viewer] live viewer at http://127.0.0.1:{}/", self.port)
+
+    # -- player-side API (mirrors the reference viewer update calls) --
+
+    def update(self, estimator) -> None:
+        """Snapshot the estimator's host state for the render thread."""
+        traj = estimator.trajectory()
+        with estimator._keyframes_lock:
+            kf = (np.stack([k.stored_pose[:3, 3] for k in estimator.keyframes])
+                  if estimator.keyframes else np.zeros((0, 3), np.float32))
+        mp = estimator.map_points()
+        if len(mp) > self.max_map:
+            mp = mp[:: len(mp) // self.max_map + 1]
+        scan = np.zeros((0, 3), np.float32)
+        if getattr(estimator, "_last_feat", None) is not None:
+            feat = np.asarray(estimator._last_feat)
+            mask = np.asarray(estimator._last_mask, bool)
+            pts = feat[mask]
+            h = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1)
+            scan = (h @ estimator.T_current.T)[:, :3]
+            if len(scan) > self.max_scan:
+                scan = scan[:: len(scan) // self.max_scan + 1]
+        state = {
+            "frame": int(estimator.frame_count),
+            "n_kf": int(len(kf)),
+            "n_map": int(len(mp)),
+            "loops": int(estimator.loop_constraint_count),
+            "mode": self._mode,
+            "traj": np.round(traj[:, :3, 3], 3).tolist(),
+            "kf": np.round(kf, 3).tolist(),
+            "map": np.round(mp, 3).tolist(),
+            "scan": np.round(scan, 3).tolist(),
+        }
+        body = self._json.dumps(state).encode()
+        with self._lock:
+            self._state_bytes = body
+
+    def wait_if_stepping(self, poll_s: float = 0.05) -> bool:
+        """Frame-loop gate (reference handle_viewer_controls): returns
+        False when the user pressed finish; in step mode blocks until a
+        step is granted."""
+        import time as _time
+        while True:
+            with self._lock:
+                if self._mode == "finish":
+                    return False
+                if self._mode == "auto":
+                    return True
+                if self._pending_steps > 0:
+                    self._pending_steps -= 1
+                    return True
+            _time.sleep(poll_s)
+
+    def close(self):
+        try:
+            self._httpd.shutdown()
+        except Exception:
+            pass

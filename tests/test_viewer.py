@@ -73,3 +73,60 @@ def test_timing_statistics_smoke(capsys):
         est.timing_history.append(TimingStats(1.0, 2.0, 3.0, 6.0))
     est.print_timing_statistics()  # must not raise
     est.shutdown()
+
+
+def test_live_viewer_serves_state_and_controls():
+    """LiveViewer (the reference PangolinViewer's live render + auto/step
+    UI as a local HTTP server): page + state.json + control endpoints,
+    and the frame-loop gate semantics."""
+    import json
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from lidar_odometry_tpu.config import SystemConfig
+    from lidar_odometry_tpu.io import synthetic
+    from lidar_odometry_tpu.models.estimator import Estimator
+    from lidar_odometry_tpu.viewer import LiveViewer
+
+    cfg = SystemConfig(scan_capacity=4096, map_l0_capacity=32768,
+                       map_l1_capacity=8192, keyframe_capacity=64,
+                       point_stride=2, enable_loop_detection=False,
+                       enable_console_statistics=False)
+    world = synthetic.make_world(seed=3, extent=40.0, n_buildings=8)
+    rng = np.random.default_rng(3)
+    est = Estimator(cfg, sync_loop=True)
+    for p in synthetic.straight_trajectory(6, step=0.5):
+        est.process_frame(synthetic.sample_scan(world, p, 6000, rng,
+                                                max_range=30.0, noise=0.01))
+    lv = LiveViewer(port=0)   # ephemeral port
+    try:
+        lv.update(est)
+        base = f"http://127.0.0.1:{lv.port}"
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "lidar_odometry_tpu live" in page
+        state = json.loads(urllib.request.urlopen(
+            f"{base}/state.json").read())
+        assert state["frame"] == 6
+        assert len(state["traj"]) == 6
+        assert state["n_map"] > 1000
+        assert len(state["map"]) == state["n_map"]
+
+        # finish control stops the frame-loop gate
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/control?mode=finish", method="POST"))
+        assert lv.wait_if_stepping() is False
+
+        # step mode grants exactly the posted steps
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/control?mode=step", method="POST"))
+        granted = []
+        t = threading.Thread(
+            target=lambda: granted.append(lv.wait_if_stepping()))
+        t.start()
+        t.join(timeout=5.0)
+        assert granted == [True]
+    finally:
+        lv.close()
+        est.shutdown()
