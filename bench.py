@@ -9,12 +9,19 @@ scans pre-staged in device memory (the native prefetcher's job in
 production).
 
 Two numbers are measured:
-  * single-stream FPS (one sequence, the reference's setting), and
-  * chip throughput with B independent sequences batched on the data
-    axis (the deployment/serving configuration).
-The headline metric is the batched scans/s per chip; both are printed to
-stderr. Accuracy is sanity-checked per run (ATE vs synthetic ground
-truth) so the throughput is for a working pipeline, not a no-op.
+  * single-stream FPS (one sequence, the reference's setting) — the
+    per-chip THROUGHPUT OPTIMUM: odometry is sequential, so B-lane
+    blocked batching shares one update pipeline across B-times the data
+    at roughly B-times the cost and cannot beat running sequences
+    back-to-back (round-4 measurements: blocked B=4 reaches ~78% of the
+    serial-aggregate rate);
+  * blocked B=4 scans/s — the multi-sequence SERVING configuration:
+    4 streams progress concurrently, trading that ~22% aggregate
+    throughput for 4x lower per-stream completion latency.
+The headline metric is the larger of the two (in practice single-
+stream); both are printed to stderr. Accuracy is sanity-checked per run
+(ATE vs synthetic ground truth) so the throughput is for a working
+pipeline, not a no-op.
 
 Prints ONE JSON line:
   {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
