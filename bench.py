@@ -262,14 +262,19 @@ def measure_loop_enabled(n_frames=750, cap=16384):
         fps = (n_frames - CH) / dt
         loops = est.loop_constraint_count
         err = ate_rmse(est.trajectory(), np.asarray(gt))
+        if enable:
+            stages = {k: round(v) for k, v in est._loop_stage_ms.items()}
+            print(f"#   rep: {fps:.1f} fps, {loops} loops, "
+                  f"{est.loop_icp_attempts} solves, stage_ms {stages}",
+                  file=sys.stderr)
         est.shutdown()
         return fps, loops, err
 
-    # two interleaved reps per mode, best-of: wall throughput over the
+    # three interleaved reps per mode, best-of: wall throughput over the
     # tunnel swings +-20% run to run, enough to bury the on/off delta
     fps_off = err_off = 0.0
     fps_on = loops = err_on = 0
-    for rep in range(2):
+    for rep in range(3):
         f_off, _, e_off = run(False)
         f_on, l_on, e_on = run(True)
         if f_off > fps_off:
