@@ -378,11 +378,15 @@ class Estimator:
         frame.relative_pose = np.eye(4, dtype=np.float32)
 
         if update_map:
-            # Map update with world-frame features (Estimator.cpp:449-457)
+            # Map update with world-frame features (Estimator.cpp:449-457).
+            # The full-table radius-eviction scan strides to every 4th
+            # keyframe (a deferred process anyway; matches the fused path)
             world = lie.transform_points(jnp.asarray(pose), feat)
             sensor = jnp.asarray(pose[:3, 3])
             self.map_state = self.backend.update(
-                self.map_state, world, mask, sensor, self.cfg.max_range * 1.2)
+                self.map_state, world, mask, sensor,
+                self.cfg.max_range * 1.2,
+                evict_enabled=jnp.bool_(kf_id % 4 == 0))
             # (KDTree mode needs no rebuild: the hash index IS the tree.)
 
         self.last_keyframe_pose = pose

@@ -136,15 +136,21 @@ def _make_parts(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstants,
             hierarchy_factor=icp_cfg.hierarchy_factor,
             compute_surfels=compute_surfels)
 
-    def cond_update(map_state, T, feat, mask, is_kf):
+    def cond_update(map_state, T, feat, mask, is_kf, kf_count):
         def do_update(ms):
             world = lie.transform_points(T, feat)
+            # the full-table radius-eviction scan runs every 4th
+            # keyframe only (eviction is a deferred process bounded by
+            # caps anyway; the stride just delays individual evictions
+            # <=3 keyframes) — the scan is a fixed O(c1*27) pass that
+            # was a measured slice of every update
             return vm.update_map(
                 ms, world, mask, T[:3, 3], max_distance,
                 voxel_size=icp_cfg.voxel_size,
                 planarity_threshold=planarity_threshold,
                 hierarchy_factor=icp_cfg.hierarchy_factor,
-                compute_surfels=compute_surfels)
+                compute_surfels=compute_surfels,
+                evict_enabled=(kf_count % 4 == 0))
 
         return jax.lax.cond(is_kf, do_update, lambda ms: ms, map_state)
 
@@ -158,8 +164,11 @@ def _make_frame_step(icp_cfg: icp_ops.ICPConfig, pko_consts: pko_ops.PKOConstant
 
     def frame_step(carry: OdomCarry, raw_scan):
         T, velocity, is_kf, n_corr, feat, mask = pre(carry, raw_scan)
-        upd = mupd if masked_update else cupd
-        map_state = upd(carry.map_state, T, feat, mask, is_kf)
+        if masked_update:
+            map_state = mupd(carry.map_state, T, feat, mask, is_kf)
+        else:
+            map_state = cupd(carry.map_state, T, feat, mask, is_kf,
+                             carry.kf_count)
         new_carry = OdomCarry(
             map_state=map_state, T_prev=T, velocity=velocity,
             last_kf_pose=jnp.where(is_kf, T, carry.last_kf_pose),
@@ -350,11 +359,12 @@ def make_batched_chunk_runner(icp_cfg: icp_ops.ICPConfig,
         # keyframe cond (and the conds inside update_map) as true
         # branches, so non-keyframe lanes cost nothing.
         def lane(_, xs):
-            ms, T_l, feat_l, mask_l, kf_l = xs
-            return _, cupd(ms, T_l, feat_l, mask_l, kf_l)
+            ms, T_l, feat_l, mask_l, kf_l, kc_l = xs
+            return _, cupd(ms, T_l, feat_l, mask_l, kf_l, kc_l)
 
         _, map_state = jax.lax.scan(
-            lane, 0, (carry.map_state, T, feat, mask, is_kf))
+            lane, 0, (carry.map_state, T, feat, mask, is_kf,
+                      carry.kf_count))
         new_carry = OdomCarry(
             map_state=map_state, T_prev=T, velocity=velocity,
             last_kf_pose=jnp.where(is_kf[:, None, None], T,

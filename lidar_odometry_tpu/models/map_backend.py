@@ -52,13 +52,15 @@ class SingleChipMapBackend:
         return icp_ops.icp_optimize(state, pts, mask, T_init, pko_consts,
                                     icp_cfg)
 
-    def update(self, state, world_pts, mask, sensor_pos, max_distance):
+    def update(self, state, world_pts, mask, sensor_pos, max_distance,
+               evict_enabled=None):
         return vm.update_map(
             state, world_pts, mask, sensor_pos, max_distance,
             voxel_size=self.cfg.map_voxel_size,
             planarity_threshold=self.cfg.surfel_planarity_threshold,
             hierarchy_factor=self.cfg.derived_hierarchy_factor(),
-            compute_surfels=self.cfg.use_surfel_correspondence)
+            compute_surfels=self.cfg.use_surfel_correspondence,
+            evict_enabled=evict_enabled)
 
     def rehash(self, state, correction):
         return vm.transform_and_rehash(
@@ -170,7 +172,12 @@ class ShardedMapBackend:
             compute_surfels=self.cfg.use_surfel_correspondence,
             mesh_axis=self.mesh_axis)
 
-    def update(self, state, world_pts, mask, sensor_pos, max_distance):
+    def update(self, state, world_pts, mask, sensor_pos, max_distance,
+               evict_enabled=None):
+        # evict_enabled is accepted for front-door parity; the sharded
+        # update batches keyframes (K per dispatch) so its eviction is
+        # already amortized K-fold.
+        del evict_enabled
         self._n_updates += 1
         if (self.update_batch <= 1
                 or self._n_updates <= self.update_batch):
