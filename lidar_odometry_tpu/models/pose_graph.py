@@ -174,6 +174,25 @@ def _se3_log_batch(R, t):
     return np.concatenate([w, u], axis=1)
 
 
+def _se3_exp_batch(xi):
+    """Batched se3_exp: (N,6) [w,u] -> (R (N,3,3), t (N,3))."""
+    w, u = xi[:, :3], xi[:, 3:]
+    theta = np.linalg.norm(w, axis=1)
+    small = theta < _EPS
+    th = np.where(small, 1.0, theta)
+    Wu = _skew_batch(w / th[:, None])
+    WWu = np.einsum("nij,njk->nik", Wu, Wu)
+    I = np.broadcast_to(np.eye(3), (len(xi), 3, 3))
+    s, c = np.sin(theta), np.cos(theta)
+    R = I + s[:, None, None] * Wu + (1.0 - c)[:, None, None] * WWu
+    R = np.where(small[:, None, None], I + _skew_batch(w), R)
+    V = (I + ((1.0 - c) / th)[:, None, None] * Wu
+         + ((th - s) / th)[:, None, None] * WWu)
+    t = np.einsum("nij,nj->ni", V, u)
+    t = np.where(small[:, None], u, t)
+    return R, t
+
+
 def _between_error_batch(T_from, T_to, measured):
     """Batched between_error: (N,4,4)x3 -> err (N,6), J_from (N,6,6)
     (J_to = I for every factor, reference :463-498)."""
@@ -372,16 +391,16 @@ class PoseGraphOptimizer:
                     return False
             if dx is None or not np.all(np.isfinite(dx)):
                 return False
+            # batched retraction T <- T * Exp(delta) (the per-keyframe
+            # python loop cost ~10 ms/GN-iteration at 340 keyframes)
+            P = np.stack([self._poses[k] for k in self._keyframe_ids])
+            dR, dt = _se3_exp_batch(dx.reshape(-1, 6))
+            T_new = np.broadcast_to(np.eye(4), P.shape).copy()
+            T_new[:, :3, :3] = np.einsum("nij,njk->nik", P[:, :3, :3], dR)
+            T_new[:, :3, 3] = (np.einsum("nij,nj->ni", P[:, :3, :3], dt)
+                               + P[:, :3, 3])
             for i, kf_id in enumerate(self._keyframe_ids):
-                delta = dx[i * 6: i * 6 + 6]  # [rot, trans]
-                T = self._poses[kf_id]
-                dR, dt = se3_exp(delta)
-                R_new = T[:3, :3] @ dR
-                t_new = T[:3, :3] @ dt + T[:3, 3]
-                T_new = np.eye(4)
-                T_new[:3, :3] = R_new
-                T_new[:3, 3] = t_new
-                self._poses[kf_id] = T_new
+                self._poses[kf_id] = T_new[i]
             if np.linalg.norm(dx) < convergence_threshold:
                 return True
         return False
