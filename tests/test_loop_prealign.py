@@ -43,10 +43,11 @@ def _loop_icp(query_cloud, est_pose, matched_world, T_init=None):
     mask = np.ones(len(query_cloud), bool)
     table = knn.build_point_table(jnp.asarray(matched_world),
                                   jnp.asarray(mask), bin_size=2.0)
-    return icp.icp_optimize_loop(
+    T_rel, success, inliers, _rms = icp.icp_optimize_loop(
         jnp.asarray(query_cloud), jnp.asarray(mask), jnp.asarray(est_pose),
         table, consts, cfg,
         T_init=None if T_init is None else jnp.asarray(T_init))
+    return T_rel, success, inliers
 
 
 def test_bev_translation_offset_recovers_shift():
