@@ -35,8 +35,17 @@ def main() -> int:
                          "+ distributed Schur PGO)")
     ap.add_argument("--live-viewer", type=int, nargs="?", const=8123,
                     default=None, metavar="PORT",
-                    help="serve a live 3D view (trajectory/map/scan + "
-                         "auto/step/finish controls) on localhost:PORT")
+                    help="serve a live 3D view (trajectory/map/scan/"
+                         "surfels/icp-debug + auto/step/finish controls) "
+                         "on localhost:PORT")
+    ap.add_argument("--chunk", type=int, default=None, metavar="N",
+                    help="frames per fused device dispatch (the bench "
+                         "single-stream fast path; default from config "
+                         "chunk_frames, 0 = per-frame reference loop)")
+    ap.add_argument("--prestage", action="store_true",
+                    help="upload all chunks as fast as the reader allows "
+                         "(bench methodology) instead of the 2-chunk "
+                         "streaming bound")
     args = ap.parse_args()
 
     print("=" * 60)
@@ -51,7 +60,8 @@ def main() -> int:
         lv = LiveViewer(port=args.live_viewer)
     result = player.run(start=args.start, end=args.end, skip=args.skip,
                         sync_loop=args.sync_loop, shards=args.shards,
-                        live_viewer=lv)
+                        live_viewer=lv, chunk_frames=args.chunk,
+                        prestage=args.prestage)
     if lv is not None:
         lv.update(player.estimator) if player.estimator else None
         lv.close()

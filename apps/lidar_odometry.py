@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--step", action="store_true", help="accepted for parity; no-op headless")
     ap.add_argument("--no-viewer", action="store_true", help="accepted for parity (always headless)")
     ap.add_argument("--sync-loop", action="store_true")
+    ap.add_argument("--chunk", type=int, default=None, metavar="N",
+                    help="frames per fused device dispatch (0 = per-frame)")
+    ap.add_argument("--live-viewer", type=int, nargs="?", const=8123,
+                    default=None, metavar="PORT",
+                    help="serve a live 3D view on localhost:PORT")
     args = ap.parse_args()
 
     print("=" * 60)
@@ -43,8 +48,18 @@ def main() -> int:
     if args.output:
         cfg = cfg.replace(output_directory=args.output)
 
-    result = PLYPlayer(cfg).run(start=args.start, end=args.end, skip=args.skip,
-                                sync_loop=args.sync_loop)
+    lv = None
+    if args.live_viewer is not None:
+        from lidar_odometry_tpu.viewer import LiveViewer
+        lv = LiveViewer(port=args.live_viewer)
+    player = PLYPlayer(cfg)
+    result = player.run(start=args.start, end=args.end, skip=args.skip,
+                        sync_loop=args.sync_loop, live_viewer=lv,
+                        chunk_frames=args.chunk)
+    if lv is not None:
+        if player.estimator is not None:
+            lv.update(player.estimator)
+        lv.close()
     if result.frames_processed == 0:
         return 1
     print("-" * 60)

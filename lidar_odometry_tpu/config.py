@@ -28,6 +28,12 @@ class SystemConfig:
     enable_console_statistics: bool = True
     step_mode: bool = False
     auto_ground_truth_path: bool = True
+    # TPU-specific (no reference YAML key): frames per fused device
+    # dispatch in the players. 0 = the reference's per-frame loop;
+    # >1 routes the production players through Estimator.process_chunk
+    # (the bench single-stream path) with the background chunk feeder —
+    # viewer controls then act at chunk granularity.
+    chunk_frames: int = 0
 
     # --- point_cloud ---
     voxel_size: float = 0.5

@@ -108,6 +108,10 @@ class KittiPlayerResult:
     frames_processed: int = 0
     total_time_s: float = 0.0
     fps: float = 0.0
+    # chunked mode: throughput after the first (warmup/compile) chunk —
+    # the number comparable to the bench's single-stream methodology,
+    # which also excludes its compile chunk from the timed region
+    steady_fps: float = 0.0
     error_stats: Optional[ErrorStats] = None
     velocity_stats: Optional[VelocityStats] = None
     trajectory_path: str = ""
@@ -125,6 +129,8 @@ def save_statistics(path: str, result: "KittiPlayerResult", seq: str):
         f.write(f" Frames processed: {result.frames_processed}\n")
         f.write(f" Total time: {result.total_time_s:.2f} s\n")
         f.write(f" Average FPS: {result.fps:.2f}\n")
+        if result.steady_fps > 0:
+            f.write(f" Steady FPS (post-warmup): {result.steady_fps:.2f}\n")
         if result.per_frame_ms:
             arr = np.asarray(result.per_frame_ms)
             f.write(f" Frame time avg/min/max: {arr.mean():.2f} / "
@@ -172,7 +178,9 @@ class KittiPlayer:
 
     def run(self, start: int = 0, end: Optional[int] = None, skip: int = 1,
             sync_loop: bool = False, prefetch: bool = True,
-            shards: int = 0, live_viewer=None) -> KittiPlayerResult:
+            shards: int = 0, live_viewer=None,
+            chunk_frames: Optional[int] = None,
+            prestage: bool = False) -> KittiPlayerResult:
         """`shards` > 0 runs the SAME pipeline with the voxel map sharded
         over that many devices (BASELINE config 5: distributed robust
         ICP, shard-local updates, distributed Schur PGO), via
@@ -181,7 +189,18 @@ class KittiPlayer:
         `live_viewer` — a viewer.LiveViewer: the frame loop then honors
         its auto/step/finish controls and pushes a state snapshot every
         few frames (the reference player's viewer handoff,
-        kitti_player.cpp:428-511)."""
+        kitti_player.cpp:428-511).
+
+        `chunk_frames` (None -> config.chunk_frames): >1 routes the run
+        through the fused chunk path (Estimator.process_chunk — the
+        bench single-stream engine) with the background chunk feeder
+        (io/feeder.py); <=1 is the reference's per-frame loop. The
+        sharded backend always uses the per-frame front door. In chunked
+        mode the stride-skip decimation happens at decode time and the
+        estimator's filter runs with stride 1 (identical semantics,
+        stride-x smaller uploads — io/feeder.py). `prestage` uploads all
+        chunks as fast as the reader allows (bench methodology; the
+        default streams with a 2-chunk bound)."""
         result = KittiPlayerResult()
         files = self.bin_files()
         if not files:
@@ -200,27 +219,22 @@ class KittiPlayer:
             self.cfg = self.cfg.replace(pgo_backend="distributed")
             backend = ShardedMapBackend(self.cfg, mesh)
             log.info("[KittiPlayer] sharded map over {} devices", shards)
-        self.estimator = Estimator(self.cfg, sync_loop=sync_loop,
+        if chunk_frames is None:
+            chunk_frames = self.cfg.chunk_frames
+        use_chunked = bool(chunk_frames and chunk_frames > 1
+                           and backend is None)
+        est_cfg = self.cfg
+        if use_chunked and self.cfg.point_stride > 1:
+            # stride-skip moves to decode time (io/feeder.py)
+            est_cfg = self.cfg.replace(point_stride=1)
+        self.estimator = Estimator(est_cfg, sync_loop=sync_loop,
                                    map_backend=backend)
-        loader = native_io.Prefetcher(files) if prefetch else None
-        t_run = time.perf_counter()
-        for i, path in enumerate(files):
-            if live_viewer is not None and not live_viewer.wait_if_stepping():
-                log.info("[KittiPlayer] finish requested by viewer")
-                break
-            t0 = time.perf_counter()
-            cloud = loader.next() if loader else load_kitti_binary(path)
-            try:
-                self.estimator.process_frame(cloud)
-            except Exception as e:  # per-frame try/catch (ply_player.cpp:513-515)
-                log.error("[KittiPlayer] frame {} failed: {}", i, repr(e))
-            result.per_frame_ms.append((time.perf_counter() - t0) * 1e3)
-            if live_viewer is not None and (i % 5 == 0 or live_viewer._mode
-                                            == "step"):
-                live_viewer.update(self.estimator)
-        result.total_time_s = time.perf_counter() - t_run
-        result.frames_processed = len(files)
-        result.fps = len(files) / max(result.total_time_s, 1e-9)
+        if use_chunked:
+            self._run_chunked(files, int(chunk_frames), live_viewer, result,
+                              prestage=prestage)
+        else:
+            self._run_frames(files, prefetch, live_viewer, result)
+        self.estimator.finalize_loops()
 
         traj = self.estimator.trajectory()
         if self.cfg.save_trajectory and self.cfg.output_directory:
@@ -249,6 +263,132 @@ class KittiPlayer:
             save_statistics(result.statistics_path, result, self.cfg.seq)
         self.estimator.shutdown()
         return result
+
+    def _run_frames(self, files, prefetch, live_viewer,
+                    result: KittiPlayerResult):
+        """The reference's per-frame loop (kitti_player.cpp:79-150)."""
+        loader = native_io.Prefetcher(files) if prefetch else None
+        t_run = time.perf_counter()
+        for i, path in enumerate(files):
+            if live_viewer is not None and not live_viewer.wait_if_stepping():
+                log.info("[KittiPlayer] finish requested by viewer")
+                break
+            t0 = time.perf_counter()
+            cloud = loader.next() if loader else load_kitti_binary(path)
+            try:
+                self.estimator.process_frame(cloud)
+            except Exception as e:  # per-frame try/catch (ply_player.cpp:513-515)
+                log.error("[KittiPlayer] frame {} failed: {}", i, repr(e))
+            result.per_frame_ms.append((time.perf_counter() - t0) * 1e3)
+            if live_viewer is not None and (i % 5 == 0
+                                            or live_viewer.mode == "step"):
+                live_viewer.update(self.estimator)
+        result.total_time_s = time.perf_counter() - t_run
+        # count actual loop iterations — the viewer's finish control can
+        # break out early (round-4 ADVICE 1)
+        result.frames_processed = len(result.per_frame_ms)
+        result.fps = result.frames_processed / max(result.total_time_s, 1e-9)
+
+    def _run_chunked(self, files, chunk_frames: int, live_viewer,
+                     result: KittiPlayerResult, prestage: bool = False):
+        """The production fast path: full chunks through the fused device
+        pipeline (Estimator.process_chunk), scans decoded + staged by the
+        background feeder; the tail remainder runs per-frame. Viewer
+        controls act at chunk granularity. Stage timings are sampled
+        every 8th chunk so the reference's per-stage table stays
+        populated (Estimator.process_chunk sample_stages)."""
+        from .feeder import ChunkFeeder
+        if self.cfg.enable_loop_detection:
+            self.estimator.warm_loop_programs()
+        feeder = ChunkFeeder(files, chunk_frames,
+                             point_stride=self.cfg.point_stride,
+                             prestage=prestage)
+        log.info("[KittiPlayer] chunked mode: {} chunks of {} frames, "
+                 "raw capacity {}", feeder.n_chunks, chunk_frames,
+                 feeder.capacity)
+        source = feeder
+        if prestage:
+            # bench methodology: decode + upload everything BEFORE the
+            # frame loop, so the measured region is compute + bookkeeping
+            import jax as _jax
+            source = list(feeder)
+            if source:
+                _jax.block_until_ready(source[-1])
+            log.info("[KittiPlayer] prestaged {} chunks on device",
+                     len(source))
+        # With loops off and no interactive viewer, host bookkeeping
+        # defers entirely: chunks dispatch back-to-back with zero host
+        # round trips (the bench single-stream methodology), and the
+        # deferred packed results drain in batches. Loop detection (and
+        # a live viewer) need per-chunk host state, so they fetch every
+        # chunk.
+        defer = (not self.cfg.enable_loop_detection
+                 and live_viewer is None)
+        frames_done = 0
+        drain_thread = None
+
+        def drain_async():
+            # Periodic drains run on a background thread so their fetch
+            # round trips overlap the (async) chunk dispatch loop —
+            # sequential drains (joined before starting the next) keep
+            # bookkeeping in order, and the dispatch loop never reads
+            # the host mirrors the drain writes while the device carry
+            # is live.
+            nonlocal drain_thread
+            if drain_thread is not None:
+                drain_thread.join()
+            import threading
+            drain_thread = threading.Thread(
+                target=self.estimator.drain_chunks, daemon=True)
+            drain_thread.start()
+
+        t_run = time.perf_counter()
+        t_steady = None
+        try:
+            for c, chunk in enumerate(source):
+                if (live_viewer is not None
+                        and not live_viewer.wait_if_stepping()):
+                    log.info("[KittiPlayer] finish requested by viewer")
+                    break
+                t0 = time.perf_counter()
+                # chunks 0-1 run synchronously: chunk 0 (stage-sampled,
+                # so it dispatches F-1 fused frames) and chunk 1 (full
+                # F) absorb the compiles/cache-loads of BOTH program
+                # shapes plus the first fetch; steady_fps then measures
+                # the same post-warmup region as the bench
+                self.estimator.process_chunk(
+                    chunk, sample_stages=(c % 8 == 0),
+                    defer_host=defer and c > 1)
+                if c == 1:
+                    t_steady = time.perf_counter()
+                elif defer and c > 1 and (c + 1) % 16 == 0:
+                    drain_async()                   # bound device refs
+                per_frame = (time.perf_counter() - t0) * 1e3 / chunk_frames
+                result.per_frame_ms.extend([per_frame] * chunk_frames)
+                frames_done += chunk_frames
+                if live_viewer is not None:
+                    live_viewer.update(self.estimator)
+            if drain_thread is not None:
+                drain_thread.join()
+            if defer:
+                self.estimator.drain_chunks()
+        finally:
+            feeder.close()
+        if t_steady is not None and frames_done > 2 * chunk_frames:
+            result.steady_fps = ((frames_done - 2 * chunk_frames)
+                                 / max(time.perf_counter() - t_steady, 1e-9))
+        for path in feeder.tail:     # remainder < one chunk: per-frame
+            t0 = time.perf_counter()
+            try:
+                self.estimator.process_frame(
+                    load_kitti_binary(path)[::max(self.cfg.point_stride, 1)])
+            except Exception as e:
+                log.error("[KittiPlayer] frame failed: {}", repr(e))
+            result.per_frame_ms.append((time.perf_counter() - t0) * 1e3)
+            frames_done += 1
+        result.total_time_s = time.perf_counter() - t_run
+        result.frames_processed = frames_done
+        result.fps = frames_done / max(result.total_time_s, 1e-9)
 
 
 def run_from_yaml(config_path: str, **kw) -> KittiPlayerResult:

@@ -45,6 +45,14 @@ from .pose_graph import PoseGraphOptimizer
 __all__ = ["Estimator", "KeyframeRecord", "FrameRecord", "TimingStats"]
 
 
+@jax.jit
+def _feat_row(feats, r):
+    """Traced-index row gather (module-level so the compiled program is
+    shared across drains and cached persistently — a python-int index
+    would bake into the jaxpr and compile per row)."""
+    return feats[r]
+
+
 class KeyframeRecord:
     """Host-side keyframe state (reference LidarFrame keyframe fields,
     src/database/LidarFrame.h:60-389).
@@ -79,6 +87,13 @@ class KeyframeRecord:
     def feature_cloud(self) -> np.ndarray:
         c = self._cloud
         if c is not None:
+            if not isinstance(c, np.ndarray):
+                # lazy device reference (deferred chunk ingest): the
+                # cloud stays a per-keyframe device row until something
+                # actually reads it — loop ICP, export, checkpoint —
+                # so the fast path never pays the fetch round trip
+                c = np.asarray(c)
+                self._cloud = c
             return c
         live = np.load(self._spill_path)["pts"]
         out = np.zeros((self._mask.shape[0], 3), np.float32)
@@ -100,7 +115,7 @@ class KeyframeRecord:
         if self._cloud is None:
             return
         path = os.path.join(directory, f"kf_{self.kf_id:06d}.npz")
-        np.savez(path, pts=self._cloud[self._mask])
+        np.savez(path, pts=np.asarray(self._cloud)[self._mask])
         self._spill_path = path
         self._cloud = None
 
@@ -224,7 +239,8 @@ class Estimator:
         self._loop_stage_ms: Dict[str, float] = {}
         self._stage_lock = threading.Lock()
         self._chunk_runner = None
-        self._chunk_carry = None
+        self._chunk_carry = None       # device-resident odometry carry
+        self._deferred_chunks = []     # packed results awaiting bookkeeping
 
     # ------------------------------------------------------------------
     # Main pipeline
@@ -285,6 +301,9 @@ class Estimator:
 
         self._prev_pose = self.T_current
         self._last_feat, self._last_mask = feat, mask
+        # host pose state advanced outside the chunk path: the
+        # device-resident chunk carry no longer matches it
+        self._chunk_carry = None
 
         timing.total_ms = (time.perf_counter() - t_start) * 1e3
         self._record_timing(timing)
@@ -295,7 +314,11 @@ class Estimator:
         Estimator.cpp:561-589; the downsampled cloud doubles as the
         feature cloud)."""
         cap = self.cfg.scan_capacity
-        raw = jnp.asarray(np.ascontiguousarray(raw_points, dtype=np.float32))
+        if isinstance(raw_points, jax.Array):
+            raw = raw_points.astype(jnp.float32)
+        else:
+            raw = jnp.asarray(np.ascontiguousarray(raw_points,
+                                                   dtype=np.float32))
         feat, mask, n = voxel_filter.voxel_filter(
             raw, jnp.int32(min(n_points, len(raw_points))),
             voxel_size=self.cfg.voxel_size, stride=self.cfg.point_stride,
@@ -344,7 +367,8 @@ class Estimator:
 
     def _create_keyframe(self, feat, mask, frame: FrameRecord,
                          pose: Optional[np.ndarray] = None,
-                         update_map: bool = True):
+                         update_map: bool = True,
+                         lazy_cloud: bool = False):
         """reference create_keyframe (Estimator.cpp:370-530). With
         update_map=False only the bookkeeping runs (the fused chunk mode
         already updated the map on device)."""
@@ -366,7 +390,10 @@ class Estimator:
             if self.cfg.enable_pgo:
                 self.pose_graph.add_first_keyframe(kf_id, pose)
 
-        feat_np = np.asarray(feat)
+        # lazy_cloud (deferred chunk ingest, loops off): keep the small
+        # per-keyframe device row; KeyframeRecord materializes on first
+        # real read instead of paying a fetch round trip per keyframe
+        feat_np = feat if lazy_cloud else np.asarray(feat)
         mask_np = np.asarray(mask)
         record = KeyframeRecord(
             kf_id=kf_id, stored_pose=pose, relative_pose=rel,
@@ -414,27 +441,31 @@ class Estimator:
 
     @staticmethod
     @jax.jit
-    def _pack_chunk_outputs(poses, is_kf, n_corr, feats, masks,
-                            T_prev, velocity, last_kf_pose):
-        """Pack all chunk outputs into one (F+1, 19+cap*3) f32 array so
-        the host fetches everything in ONE transfer (see process_chunk)."""
-        f, cap = feats.shape[0], feats.shape[1]
+    def _pack_chunk_head(poses, is_kf, n_corr, masks,
+                         T_prev, velocity, last_kf_pose):
+        """Pack the chunk's scalar outputs into one tiny (F+1, 48) f32
+        array — per-frame rows [pose(16) | is_kf | n_corr | n_valid |
+        zeros] plus a tail row [T_prev(16) | velocity(16) |
+        last_kf_pose(16)]. Feature clouds stay on device; only the few
+        keyframe rows are gathered + fetched later (every synchronous
+        np.asarray pays a full tunnel round trip, and bulk feature bytes
+        for non-keyframes were ~90% of the old single-packed fetch)."""
+        f = poses.shape[0]
         f32 = jnp.float32
         n_valid = jnp.sum(masks.astype(jnp.int32), axis=1)
         head = jnp.concatenate(
             [poses.reshape(f, 16).astype(f32),
              is_kf[:, None].astype(f32), n_corr[:, None].astype(f32),
-             n_valid[:, None].astype(f32)], axis=1)        # (F, 19)
-        rows = jnp.concatenate(
-            [head, feats.reshape(f, cap * 3).astype(f32)], axis=1)
+             n_valid[:, None].astype(f32),
+             jnp.zeros((f, 29), f32)], axis=1)             # (F, 48)
         tail = jnp.concatenate(
             [T_prev.reshape(16), velocity.reshape(16),
-             last_kf_pose.reshape(16),
-             jnp.zeros((rows.shape[1] - 48,), f32)])[None, :]
-        return jnp.concatenate([rows, tail], axis=0)
+             last_kf_pose.reshape(16)])[None, :]
+        return jnp.concatenate([head, tail], axis=0)
 
     def process_chunk(self, raw_scans: np.ndarray,
-                      sample_stages: bool = False) -> bool:
+                      sample_stages: bool = False,
+                      defer_host: bool = False) -> bool:
         """Process (F, N, 3) scans in one device dispatch. Pad slots must
         be NaN. Semantically equivalent to F process_frame calls with loop
         detection deferred to the chunk boundary (the background thread is
@@ -447,10 +478,25 @@ class Estimator:
         (Estimator.cpp:1307-1355) — the fused dispatch can only time the
         whole chunk. Callers sample every Nth chunk so the stage table
         stays populated at a few % overhead (see print_timing_statistics,
-        which aggregates stage rows over the sampled frames only)."""
+        which aggregates stage rows over the sampled frames only).
+
+        With defer_host=True (loop detection must be off) the packed
+        device result is queued instead of fetched, so consecutive
+        chunks dispatch back-to-back with ZERO host round trips — the
+        odometry carry stays device-resident between calls. Call
+        drain_chunks() (or trajectory()/finalize_loops(), which do) to
+        run the queued host bookkeeping. This is what lets the
+        production players match the bench single-stream methodology;
+        per-chunk fetches cost a tunnel round trip each."""
         from . import fast_pipeline as fp
 
-        if sample_stages and len(raw_scans) > 1:
+        if defer_host and self.cfg.enable_loop_detection:
+            raise ValueError(
+                "defer_host requires loop detection off: deferred "
+                "keyframe bookkeeping would delay loop queries and a "
+                "PGO correction would rebase poses while deferred "
+                "chunks still hold pre-correction values")
+        if sample_stages and not defer_host and len(raw_scans) > 1:
             self.process_frame(raw_scans[0])
             raw_scans = raw_scans[1:]
 
@@ -474,56 +520,116 @@ class Estimator:
                 return_features=True)
 
         self._apply_pending_pgo_result_if_available()
-        carry = fp.OdomCarry(
-            map_state=self.map_state,
-            T_prev=jnp.asarray(self._prev_pose),
-            velocity=jnp.asarray(self.velocity),
-            last_kf_pose=jnp.asarray(self.last_keyframe_pose),
-            initialized=jnp.bool_(self.initialized),
-            kf_count=jnp.int32(self.next_keyframe_id))
+        if self._chunk_carry is not None:
+            # device-resident pose state from the previous chunk — valid
+            # unless a PGO correction rebased the host mirrors (the
+            # apply invalidates it)
+            carry = self._chunk_carry._replace(map_state=self.map_state)
+        else:
+            carry = fp.OdomCarry(
+                map_state=self.map_state,
+                T_prev=jnp.asarray(self._prev_pose),
+                velocity=jnp.asarray(self.velocity),
+                last_kf_pose=jnp.asarray(self.last_keyframe_pose),
+                initialized=jnp.bool_(self.initialized),
+                kf_count=jnp.int32(self.next_keyframe_id))
 
-        scans_dev = jnp.asarray(np.ascontiguousarray(raw_scans, np.float32))
+        if isinstance(raw_scans, jax.Array):
+            scans_dev = raw_scans       # already staged (io/feeder.py)
+        else:
+            scans_dev = jnp.asarray(
+                np.ascontiguousarray(raw_scans, np.float32))
         carry, (poses, is_kf, n_corr, feats, masks) = self._chunk_runner(
             carry, scans_dev)
-        # ONE device->host transfer per chunk: every synchronous
-        # np.asarray pays a full tunnel round trip (~150 ms on axon), and
-        # the seven separate fetches here made the API path 8x slower
-        # than the device work (cProfile: 94% of process_chunk inside
-        # jax.Array._value; copy_to_host_async does not overlap on this
-        # backend). All outputs pack into one f32 array on device —
-        # per-frame rows [pose(16) | is_kf | n_corr | n_valid | feat xyz]
-        # plus a tail row carrying T_prev/velocity/last_kf_pose exactly.
-        packed = np.asarray(self._pack_chunk_outputs(
-            poses, is_kf, n_corr, feats, masks,
-            carry.T_prev, carry.velocity, carry.last_kf_pose))
-        f = poses.shape[0]
-        cap = feats.shape[1]
-        poses = packed[:f, :16].reshape(f, 4, 4)
-        is_kf = packed[:f, 16] > 0.5
-        feats_np = packed[:f, 19:19 + cap * 3].reshape(f, cap, 3)
+        self.map_state = carry.map_state
+        self._chunk_carry = carry._replace(map_state=None)
+        head_dev = self._pack_chunk_head(
+            poses, is_kf, n_corr, masks,
+            carry.T_prev, carry.velocity, carry.last_kf_pose)
+        f, cap = poses.shape[0], feats.shape[1]
+        entry = (head_dev, feats, f, cap)
+        if defer_host:
+            self._deferred_chunks.append(entry)
+            return True
+        self._fetch_and_ingest([entry],
+                               (time.perf_counter() - t_start) * 1e3)
+        return True
+
+    def drain_chunks(self) -> None:
+        """Run the host bookkeeping for chunks processed with
+        defer_host=True, in order (batched: one head fetch + one
+        keyframe-feature fetch for ALL pending chunks)."""
+        pending, self._deferred_chunks = self._deferred_chunks, []
+        if pending:
+            self._fetch_and_ingest(pending, 0.0, lazy=True)
+
+    def _fetch_and_ingest(self, entries, chunk_ms: float,
+                          lazy: bool = False) -> None:
+        """Fetch chunk results and run the host bookkeeping per chunk in
+        order. Heads (tiny) fetch in one transfer; keyframe feature rows
+        are device-gathered and either fetched in one batched transfer
+        (lazy=False — the loops-on path, which reads them immediately
+        for the Iris DB) or kept as per-keyframe device references that
+        materialize on first real read (lazy=True — the deferred path
+        pays ZERO feature round trips)."""
+        if len(entries) == 1:
+            heads = np.asarray(entries[0][0])[None]
+        else:
+            heads = np.asarray(jnp.stack([e[0] for e in entries]))
+        kf_rows = [np.nonzero(heads[ci, :e[2], 16] > 0.5)[0]
+                   for ci, e in enumerate(entries)]
+        if lazy:
+            per_chunk = [
+                ({int(r): _feat_row(e[1], jnp.int32(int(r))) for r in rows})
+                for e, rows in zip(entries, kf_rows)]
+        else:
+            gathered = [e[1][jnp.asarray(rows)]
+                        for e, rows in zip(entries, kf_rows) if len(rows)]
+            flat = None
+            if gathered:
+                flat = np.asarray(jnp.concatenate(gathered)) \
+                    if len(gathered) > 1 else np.asarray(gathered[0])
+            per_chunk = []
+            ofs = 0
+            for rows in kf_rows:
+                kf_feats = {}
+                for r in rows:
+                    kf_feats[int(r)] = flat[ofs]
+                    ofs += 1
+                per_chunk.append(kf_feats)
+        for ci, (head_dev, _feats, f, cap) in enumerate(entries):
+            self._ingest_chunk(heads[ci], per_chunk[ci], f, cap, chunk_ms,
+                               lazy=lazy)
+
+    def _ingest_chunk(self, head: np.ndarray, kf_feats, f: int, cap: int,
+                      chunk_ms: float, lazy: bool = False) -> None:
+        """Host bookkeeping for one chunk result (FrameRecord /
+        KeyframeRecord / PGO odom factors / loop queries) — mirrors the
+        per-frame path. `kf_feats` maps keyframe row -> (cap, 3) feature
+        cloud."""
+        poses = head[:f, :16].reshape(f, 4, 4)
+        is_kf = head[:f, 16] > 0.5
         # the voxel filter's mask is a strict prefix (arange < n_voxels,
         # ops/voxel_filter.py), so one count per frame reconstructs it
-        n_valid = packed[:f, 18].astype(np.int32)
+        n_valid = head[:f, 18].astype(np.int32)
         masks_np = np.arange(cap)[None, :] < n_valid[:, None]
-        tail = packed[f, :48]
+        tail = head[f, :48]
 
-        self.map_state = carry.map_state
         self.T_current = self._normalize_rotation(tail[:16].reshape(4, 4))
         self.velocity = tail[16:32].reshape(4, 4).copy()
         self.last_keyframe_pose = tail[32:48].reshape(4, 4).copy()
         self._prev_pose = self.T_current
         self.initialized = True
 
-        # host bookkeeping per frame (FrameRecord / KeyframeRecord / PGO /
-        # loop queries) — mirrors the per-frame path
-        for f in range(len(poses)):
-            pose = self._normalize_rotation(poses[f]).astype(np.float32)
-            if is_kf[f]:
+        for i in range(len(poses)):
+            pose = self._normalize_rotation(poses[i]).astype(np.float32)
+            if is_kf[i]:
                 frame = FrameRecord(kf_ref=-1, relative_pose=np.eye(4, dtype=np.float32),
                                     is_keyframe=False)
                 self.frames.append(frame)
-                self._create_keyframe(feats_np[f], masks_np[f], frame,
-                                      pose=pose, update_map=False)
+                self._create_keyframe(kf_feats[i], masks_np[i], frame,
+                                      pose=pose, update_map=False,
+                                      lazy_cloud=lazy)
             else:
                 kf_ref = len(self.keyframes) - 1
                 rel = (np.linalg.inv(self.keyframes[kf_ref].stored_pose) @ pose
@@ -538,14 +644,12 @@ class Estimator:
 
         # one history entry PER FRAME (total = chunk wall / frames) so the
         # "last 100 frames" window of the stats table stays frame-denominated
-        chunk_ms = (time.perf_counter() - t_start) * 1e3
         n = max(len(poses), 1)
         self.timing_history.extend(
             TimingStats(total_ms=chunk_ms / n) for _ in range(n))
         if (self.cfg.enable_console_statistics
                 and self.frame_count % 100 < n):
             self.print_timing_statistics()
-        return True
 
     # ------------------------------------------------------------------
     # Loop closure + PGO (reference Estimator.cpp:890-1137)
@@ -816,6 +920,9 @@ class Estimator:
         C = result.last_kf_correction.astype(np.float32)
         self.T_current = C @ self.T_current
         self._prev_pose = C @ self._prev_pose
+        # the device-resident chunk carry still holds pre-correction
+        # poses — rebuild it from the corrected host mirrors next chunk
+        self._chunk_carry = None
         self._add_stage_ms("pgo_apply", (time.perf_counter() - _t0) * 1e3)
 
     def _propagate_poses_after_pgo(self, last_optimized_kf_id: int):
@@ -839,6 +946,8 @@ class Estimator:
     def trajectory(self) -> np.ndarray:
         """(F, 4, 4) per-frame poses, derived dynamically so PGO corrections
         reach every frame (reference LidarFrame::get_pose chaining)."""
+        if self._deferred_chunks:
+            self.drain_chunks()
         out = np.zeros((len(self.frames), 4, 4), np.float32)
         for i, fr in enumerate(self.frames):
             if fr.is_keyframe:
@@ -1007,6 +1116,7 @@ class Estimator:
         with self._stage_lock:
             self._loop_stage_ms = {}
         self._chunk_carry = None
+        self._deferred_chunks = []
 
     def _spill_old_keyframes(self):
         """Sliding-window memory tiering (reference Estimator.cpp:474-490,
@@ -1020,9 +1130,33 @@ class Estimator:
             old = [kf for kf in self.keyframes[:-w] if not kf.is_spilled]
         if not old:
             return
+        # Lazy device-backed clouds (deferred chunk ingest) materialize in
+        # ONE batched fetch once enough accumulate — spilling them one at
+        # a time paid a tunnel round trip per keyframe (measured 31 ms
+        # each, the entire drain cost of the chunked player). Until the
+        # batch fires they wait on device (~170 KB each, <=11 MB bounded
+        # by the threshold + window).
+        dev = [kf for kf in old if not isinstance(kf._cloud, np.ndarray)]
+        host = [kf for kf in old if isinstance(kf._cloud, np.ndarray)]
+        if dev:
+            if len(dev) < 64:
+                host_ready = host
+            else:
+                by_shape = {}
+                for kf in dev:
+                    by_shape.setdefault(tuple(kf._cloud.shape), []).append(kf)
+                for kfs in by_shape.values():
+                    flat = np.asarray(jnp.stack([kf._cloud for kf in kfs]))
+                    for i, kf in enumerate(kfs):
+                        kf._cloud = flat[i]
+                host_ready = host + dev
+        else:
+            host_ready = host
+        if not host_ready:
+            return
         if self._spool_dir is None:
             self._spool_dir = tempfile.mkdtemp(prefix="lot_kfspool_")
-        for kf in old:
+        for kf in host_ready:
             kf.spill(self._spool_dir)
 
     def _drop_spool(self):
@@ -1058,6 +1192,8 @@ class Estimator:
         players that save trajectories get the same effect from the final
         `get_pose()` reads happening after the bg thread caught up."""
         self.shutdown()
+        if self._deferred_chunks:
+            self.drain_chunks()
         # batched sharded backends may hold pending keyframe inserts
         if hasattr(self.backend, "flush"):
             self.map_state = self.backend.flush(self.map_state)

@@ -156,6 +156,13 @@ _LIVE_HTML = """<!DOCTYPE html>
   <button onclick="ctl('step')">step</button>
   <button onclick="ctl('finish')">finish</button>
  </div>
+ <div style="margin-top:6px">
+  <label><input type="checkbox" checked onchange="tgl('map',this)">map</label>
+  <label><input type="checkbox" checked onchange="tgl('scan',this)">scan</label>
+  <label><input type="checkbox" checked onchange="tgl('kf',this)">kf</label>
+  <label><input type="checkbox" onchange="tgl('surfels',this)">surfels</label>
+  <label><input type="checkbox" onchange="tgl('debug',this)">icp-debug</label>
+ </div>
 </div>
 <div id="help">drag: orbit &middot; wheel: zoom &middot; shift-drag: pan</div>
 <script>
@@ -171,6 +178,8 @@ addEventListener('mousemove',e=>{if(!drag)return;
  else{panx-=dx*dist*0.002;pany+=dy*dist*0.002;}});
 cv.onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();};
 let S=null;
+const show={map:1,scan:1,kf:1,traj:1,surfels:0,debug:0};
+function tgl(k,el){show[k]=el.checked?1:0;}
 function proj(p){
  const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
  let x=p[0]-panx,y=p[1]-pany,z=p[2];
@@ -187,12 +196,23 @@ function line(pts,col){cx.strokeStyle=col;cx.lineWidth=1.6;cx.beginPath();
  let first=1;for(const p of pts){const q=proj(p);if(!q){first=1;continue;}
   if(first){cx.moveTo(q[0],q[1]);first=0;}else cx.lineTo(q[0],q[1]);}
  cx.stroke();}
+function surfels(ss){ // [cx,cy,cz,nx,ny,nz,plan] discs + normal ticks
+ for(const s of ss){const q=proj(s);if(!q)continue;
+  const g=Math.max(0,1-s[6]*8);  // greener = more planar
+  cx.strokeStyle=`rgba(${140-g*80|0},${160+g*60|0},120,0.8)`;
+  const r=Math.min(9,0.45*q[2]);
+  cx.beginPath();cx.arc(q[0],q[1],Math.max(1.5,r),0,6.3);cx.stroke();
+  const t=proj([s[0]+s[3]*0.6,s[1]+s[4]*0.6,s[2]+s[5]*0.6]);
+  if(t){cx.beginPath();cx.moveTo(q[0],q[1]);cx.lineTo(t[0],t[1]);cx.stroke();}}}
 function draw(){cx.fillStyle='#101014';cx.fillRect(0,0,W,H);
  if(S){
-  if(S.map)dots(S.map,'#4f7f9f',1);
-  if(S.scan)dots(S.scan,'#d8d44f',1);
-  if(S.kf)dots(S.kf,'#ffffff',2);
-  if(S.traj)line(S.traj,'#ef5350');
+  if(S.map&&show.map)dots(S.map,'#4f7f9f',1);
+  if(S.surfels&&show.surfels)surfels(S.surfels);
+  if(S.pre_icp&&show.debug)dots(S.pre_icp,'#cc5fd0',1);
+  if(S.post_icp&&show.debug)dots(S.post_icp,'#5fd0cc',1);
+  if(S.scan&&show.scan)dots(S.scan,'#d8d44f',1);
+  if(S.kf&&show.kf)dots(S.kf,'#ffffff',2);
+  if(S.traj&&show.traj)line(S.traj,'#ef5350');
   if(S.traj&&S.traj.length){const q=proj(S.traj[S.traj.length-1]);
    if(q){cx.strokeStyle='#ef5350';cx.beginPath();
     cx.arc(q[0],q[1],6,0,6.3);cx.stroke();}}
@@ -229,7 +249,7 @@ class LiveViewer:
     the latest snapshot."""
 
     def __init__(self, port: int = 8123, max_map_points: int = 60000,
-                 max_scan_points: int = 20000):
+                 max_scan_points: int = 20000, max_surfels: int = 15000):
         import http.server
         import json as _json
         import threading
@@ -237,6 +257,7 @@ class LiveViewer:
         self.port = port
         self.max_map = max_map_points
         self.max_scan = max_scan_points
+        self.max_surfels = max_surfels
         self._lock = threading.Lock()
         self._state_bytes = b"{}"
         self._mode = "auto"
@@ -293,9 +314,11 @@ class LiveViewer:
             kf = (np.stack([k.stored_pose[:3, 3] for k in estimator.keyframes])
                   if estimator.keyframes else np.zeros((0, 3), np.float32))
         mp = estimator.map_points()
+        n_map = len(mp)   # true size BEFORE downsampling (round-4 ADVICE 2)
         if len(mp) > self.max_map:
             mp = mp[:: len(mp) // self.max_map + 1]
         scan = np.zeros((0, 3), np.float32)
+        pre = post = None
         if getattr(estimator, "_last_feat", None) is not None:
             feat = np.asarray(estimator._last_feat)
             mask = np.asarray(estimator._last_mask, bool)
@@ -304,10 +327,34 @@ class LiveViewer:
             scan = (h @ estimator.T_current.T)[:, :3]
             if len(scan) > self.max_scan:
                 scan = scan[:: len(scan) // self.max_scan + 1]
+            # Pre/post-ICP debug clouds of the last per-frame-path frame
+            # (reference update_icp_debug_clouds, PangolinViewer.h:137):
+            # the same features at the constant-velocity guess vs the
+            # ICP-refined pose. Chunked runs only have them on
+            # stage-sampled frames.
+            if getattr(estimator, "_last_icp_guess", None) is not None:
+                pre = (h @ estimator._last_icp_guess.T)[:, :3]
+                if len(pre) > self.max_scan:
+                    pre = pre[:: len(pre) // self.max_scan + 1]
+                post = scan
+        # L1 surfel discs (reference draw_voxel_surfels from GetL1Surfels,
+        # PangolinViewer.h:131 / VoxelMap.cpp:405-418): centroid + normal
+        # + planarity per surfel, rendered as discs with normal ticks.
+        surf = None
+        try:
+            from .ops.voxel_map import l1_surfels
+            nrm, cen, plan, valid = (np.asarray(a) for a in
+                                     l1_surfels(estimator.map_state))
+            v = np.asarray(valid, bool)
+            surf = np.concatenate([cen[v], nrm[v], plan[v][:, None]], axis=1)
+            if len(surf) > self.max_surfels:
+                surf = surf[:: len(surf) // self.max_surfels + 1]
+        except Exception:
+            pass
         state = {
             "frame": int(estimator.frame_count),
             "n_kf": int(len(kf)),
-            "n_map": int(len(mp)),
+            "n_map": int(n_map),
             "loops": int(estimator.loop_constraint_count),
             "mode": self._mode,
             "traj": np.round(traj[:, :3, 3], 3).tolist(),
@@ -315,9 +362,21 @@ class LiveViewer:
             "map": np.round(mp, 3).tolist(),
             "scan": np.round(scan, 3).tolist(),
         }
+        if surf is not None:
+            state["surfels"] = np.round(surf, 3).tolist()
+        if pre is not None:
+            state["pre_icp"] = np.round(pre, 3).tolist()
+            state["post_icp"] = np.round(post, 3).tolist()
         body = self._json.dumps(state).encode()
         with self._lock:
             self._state_bytes = body
+
+    @property
+    def mode(self) -> str:
+        """Locked view of the control mode (the player loop reads this;
+        control POSTs mutate it from the HTTP thread — round-4 ADVICE 4)."""
+        with self._lock:
+            return self._mode
 
     def wait_if_stepping(self, poll_s: float = 0.05) -> bool:
         """Frame-loop gate (reference handle_viewer_controls): returns

@@ -156,3 +156,85 @@ def test_ply_player_end_to_end(tmp_path):
     lines = open(result.trajectory_path).read().strip().splitlines()
     assert len(lines) == 8
     assert len(lines[0].split()) == 8  # TUM: t x y z qx qy qz qw
+
+
+@pytest.mark.slow
+def test_kitti_player_chunked_matches_per_frame(tmp_path):
+    """Round-4 VERDICT next item 2: the production player's fused chunk
+    mode (process_chunk + background feeder) must produce the same
+    trajectory as the per-frame reference loop."""
+    world = synthetic.make_world(seed=24, extent=60.0, n_buildings=12)
+    poses = synthetic.straight_trajectory(14, step=0.4)
+    rng = np.random.default_rng(24)
+    seq_dir = tmp_path / "sequences" / "07" / "velodyne"
+    os.makedirs(seq_dir)
+    for i, pose in enumerate(poses):
+        scan = synthetic.sample_scan(world, pose, 12000, rng,
+                                     max_range=50.0, noise=0.01)
+        _write_bin(str(seq_dir / f"{i:06d}.bin"), scan)
+    cfg = SystemConfig(
+        data_directory=str(tmp_path), output_directory="",
+        seq="07", scan_capacity=8192, map_l0_capacity=65536,
+        map_l1_capacity=16384, keyframe_capacity=64, point_stride=1,
+        enable_loop_detection=False, enable_console_statistics=False,
+        save_trajectory=False)
+    p1 = KittiPlayer(cfg)
+    r1 = p1.run(sync_loop=True)
+    traj1 = p1.estimator.trajectory()
+    p2 = KittiPlayer(cfg)
+    r2 = p2.run(sync_loop=True, chunk_frames=4)   # 3 chunks + 2-frame tail
+    traj2 = p2.estimator.trajectory()
+    assert r1.frames_processed == r2.frames_processed == 14
+    assert len(traj1) == len(traj2) == 14
+    # same pipeline, different dispatch granularity: trajectories agree
+    # to numerical noise (the chunk path samples stage timings through
+    # the identical per-frame semantics)
+    err = np.linalg.norm(traj1[:, :3, 3] - traj2[:, :3, 3], axis=1)
+    assert err.max() < 0.02, err.max()
+
+
+@pytest.mark.slow
+def test_ply_player_chunked_and_readahead(tmp_path):
+    """PLY driver parity (round-4 VERDICT missing 3): chunk mode +
+    background read-ahead through the same driver pattern."""
+    world = synthetic.make_world(seed=25, extent=50.0, n_buildings=10)
+    poses = synthetic.straight_trajectory(9, step=0.4)
+    rng = np.random.default_rng(25)
+    for i, pose in enumerate(poses):
+        scan = synthetic.sample_scan(world, pose, 10000, rng,
+                                     max_range=40.0, noise=0.01)
+        save_ply(str(tmp_path / f"scan_{i:05d}.ply"), scan)
+    cfg = SystemConfig(
+        data_directory=str(tmp_path), output_directory=str(tmp_path / "out"),
+        seq="slam", trajectory_format="tum",
+        scan_capacity=8192, map_l0_capacity=65536, map_l1_capacity=16384,
+        keyframe_capacity=64, point_stride=1, enable_loop_detection=False,
+        enable_console_statistics=False)
+    player = PLYPlayer(cfg)
+    result = player.run(sync_loop=True, chunk_frames=4)  # 2 chunks + 1 tail
+    assert result.frames_processed == 9
+    assert os.path.isfile(result.trajectory_path)
+    traj = player.estimator.trajectory()
+    # estimator trajectory starts at identity; align into the GT frame
+    end = (poses[0].astype(np.float64) @ traj[-1].astype(np.float64))
+    drift = np.linalg.norm(end[:3, 3] - poses[-1][:3, 3])
+    assert drift < 0.2, drift
+
+
+def test_chunk_feeder_padding_and_tail(tmp_path):
+    from lidar_odometry_tpu.io.feeder import ChunkFeeder
+    rng = np.random.default_rng(3)
+    paths = []
+    sizes = [100, 50, 75, 120, 60, 80, 110]
+    for i, n in enumerate(sizes):
+        p = str(tmp_path / f"{i:06d}.bin")
+        _write_bin(p, rng.standard_normal((n, 3)).astype(np.float32))
+        paths.append(p)
+    feeder = ChunkFeeder(paths, 3, stage_device=False)
+    chunks = list(feeder)
+    assert len(chunks) == 2 and len(feeder.tail) == 1
+    assert chunks[0].shape == (3, feeder.capacity, 3)
+    # pad slots are NaN; live prefix matches the decoded cloud
+    c0 = chunks[0]
+    assert np.isfinite(c0[0, :100]).all() and np.isnan(c0[0, 100:]).all()
+    assert np.isfinite(c0[1, :50]).all() and np.isnan(c0[1, 50:]).all()
