@@ -281,22 +281,31 @@ def measure_loop_enabled(n_frames=750, cap=16384):
         est.shutdown()
         return fps, loops, err
 
-    # three interleaved reps per mode, best-of: wall throughput over the
-    # tunnel swings +-20% run to run, enough to bury the on/off delta
-    fps_off = err_off = 0.0
-    fps_on = loops = err_on = 0
+    # three interleaved reps per mode, MEDIAN-of-3 with the spread
+    # printed: wall throughput over the tunnel swings +-20% run to run;
+    # best-of selected favorable tail samples and produced round-4 claims
+    # the driver artifact contradicted (VERDICT weak item 2). ATE is
+    # taken from the median-fps rep of each mode.
+    offs, ons = [], []
     for rep in range(3):
-        f_off, _, e_off = run(False)
-        f_on, l_on, e_on = run(True)
-        if f_off > fps_off:
-            fps_off, err_off = f_off, e_off
-        if f_on > fps_on:
-            fps_on, loops, err_on = f_on, l_on, e_on
-    print(f"# loop-enabled: {fps_on:.1f} fps vs {fps_off:.1f} off "
-          f"({loops} loop constraints, ratio {fps_on/fps_off:.2f}, "
-          f"ate on/off {err_on:.3f}/{err_off:.3f} m)", file=sys.stderr)
+        offs.append(run(False))
+        ons.append(run(True))
+    off_sorted = sorted(offs)
+    on_sorted = sorted(ons)
+    fps_off, _, err_off = off_sorted[1]
+    fps_on, loops, err_on = on_sorted[1]
+    spread_off = [round(f, 1) for f, _, _ in off_sorted]
+    spread_on = [round(f, 1) for f, _, _ in on_sorted]
+    print(f"# loop-enabled: median {fps_on:.1f} fps (reps {spread_on}) vs "
+          f"{fps_off:.1f} off (reps {spread_off}) — {loops} loop "
+          f"constraints, ratio {fps_on/fps_off:.2f}, "
+          f"ate on/off {err_on:.4f}/{err_off:.4f} m", file=sys.stderr)
     return {"loop_enabled_fps": round(fps_on, 1),
             "loop_off_fps": round(fps_off, 1),
+            "loop_fps_reps": spread_on,
+            "loop_off_fps_reps": spread_off,
+            "loop_ate_on_m": round(float(err_on), 4),
+            "loop_ate_off_m": round(float(err_off), 4),
             "loop_constraints": int(loops)}
 
 

@@ -790,6 +790,28 @@ def update_map(state: VoxelMapState, new_pts: jax.Array, new_mask: jax.Array,
 # queries
 # ---------------------------------------------------------------------------
 
+# XLA:TPU lowers row gathers from (rows, 8) f32 tables in a band of
+# table sizes around 2^18 rows to a ~2x-slower strategy: measured on v5e
+# with a built map and 90112 queries, the surfel-payload gather costs
+# 1.42 ms at 262144 or 278528 rows vs ~0.70 ms at 131072, 327680 or
+# 524288 rows — identical op, only the operand row count differs, and
+# no index-side change (barrier / sort / split) affects it. Padding the
+# gather OPERAND past the band (a ~2 MB concat inside the program,
+# ~20 us) restores the fast lowering. This is exactly the dense-S=2
+# sharded configuration (c1_total 524288 / 2 shards), the round-4
+# SCALING.json S=2 anomaly.
+_GATHER_BAD_LO, _GATHER_BAD_HI = 196608, 327680
+
+
+def _degather_pad(table: jax.Array) -> jax.Array:
+    rows = table.shape[0]
+    if _GATHER_BAD_LO <= rows < _GATHER_BAD_HI:
+        pad = _GATHER_BAD_HI - rows
+        return jnp.concatenate(
+            [table, jnp.zeros((pad,) + table.shape[1:], table.dtype)])
+    return table
+
+
 @partial(jax.jit, static_argnames=("hierarchy_factor",))
 def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
                    hierarchy_factor: int = 3):
@@ -801,7 +823,7 @@ def lookup_surfels(state: VoxelMapState, pts: jax.Array, *, voxel_size,
     qhi, qlo = K.pack_key(coords)
     slot, hit, _, _ = _bucket_find(state.l1_index, qhi, qlo)
     c1 = state.l1_meta.shape[0]
-    row = state.l1_surfel[jnp.clip(slot, 0, c1 - 1)]
+    row = _degather_pad(state.l1_surfel)[jnp.clip(slot, 0, c1 - 1)]
     valid = hit & (row[:, 7] > 0.5)
     return row[:, 0:3], row[:, 3:6], valid
 

@@ -41,11 +41,22 @@ CHUNK = 20
 N_FRAMES_INDOOR = 960
 
 
+def _generator_tag():
+    """md5 of the synthetic generator source: a generator change
+    regenerates the cached workloads instead of silently reusing last
+    round's (round-4 VERDICT weak item 7)."""
+    import hashlib
+    from lidar_odometry_tpu.io import synthetic
+    with open(synthetic.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def make_scans():
     """Hardened outdoor circuit: ray-cast 64-ring scans + 12 moving boxes
     + 40 clutter blobs (cached; ~25 min to generate once)."""
     from lidar_odometry_tpu.io import synthetic
-    cache = f"/tmp/acc_scans_rings_{N_FRAMES}_{RAW_N}.npz"
+    cache = (f"/tmp/acc_scans_rings_{_generator_tag()}_"
+             f"{N_FRAMES}_{RAW_N}.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         return d["scans"], d["poses"], float(d["dyn_frac"])
@@ -81,7 +92,8 @@ def make_scans():
 def make_indoor_scans():
     """MID360-style corridor loop: wide-FOV ring scans with ceiling."""
     from lidar_odometry_tpu.io import synthetic
-    cache = f"/tmp/acc_scans_indoor_{N_FRAMES_INDOOR}.npz"
+    cache = (f"/tmp/acc_scans_indoor_{_generator_tag()}_"
+             f"{N_FRAMES_INDOOR}.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         return d["scans"], d["poses"]
