@@ -358,7 +358,8 @@ def main():
                  "(stride-1 / 128-beam scans: 131072 pts, 8x map) — the "
                  "fixed-size problem for which 8-way sharding is the "
                  "intended deployment; at S=8 each shard runs exactly the "
-                 "16k/262k single-chip shapes."),
+                 "16k/262k single-chip shapes."
+                 ' Round-5: (a) the round-4 dense-S=2 anomaly (per-shard ICP iter SLOWER on half the data) was traced to an XLA:TPU gather-lowering band for (rows,8) f32 tables around 2^18 rows - exactly the dense-S=2 surfel table - and fixed by padding the gather operand past the band (ops/voxel_map.lookup_surfels: iter 2.244 -> 1.19 ms); (b) per-shard owned caps are now scale-aware (margin 1+30S/sqrt(N) in [1.1,2.2], >=1.5x the worst measured ownership overload on both workloads) instead of a flat 1.375 that oversized dense-S=2 buffers by 29% and under-sized sparse S>=4 (observed overloads up to 2.13x, silently dropped). Dense strong scaling: S=2 0.834 / S=4 0.863 / S=8 0.660 (0.721 batched) - S=8 carries a deliberately larger safety margin than round 4, which dropped points on worst-case frames.'),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
