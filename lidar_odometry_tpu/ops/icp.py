@@ -263,7 +263,7 @@ def icp_optimize_loop(curr_pts: jax.Array, curr_mask: jax.Array,
                       search_radius: int = 2, bucket_width: int = 16,
                       bin_scale: float = 4.0,
                       fine_table: Optional[knn.PointTable] = None,
-                      polish_iterations: int = 24):
+                      polish_iterations: int = 8):
     """Loop-closure ICP (reference optimize_loop, :40-251): optimize the
     current keyframe pose against the matched keyframe's world-frame
     feature cloud; 5-NN + plane fit with NO distance gate; success only on
@@ -447,7 +447,7 @@ def loop_closure_solve(curr_pts: jax.Array, curr_mask: jax.Array,
                        cfg: ICPConfig, *, prealign: bool = True,
                        max_loop_iterations: int = 100,
                        search_radius: int = 2, bucket_width: int = 16,
-                       bin_scale: float = 4.0, polish_iterations: int = 24):
+                       bin_scale: float = 4.0, polish_iterations: int = 8):
     """The loop-closure geometric pipeline: build the matched keyframe's
     world cloud + bin table, coarse prealign (Iris yaw bias + BEV phase
     correlation, ops/bev_align.py), then the bounded fine ICP with
