@@ -106,6 +106,17 @@ def main():
     print("# generating scans...", file=sys.stderr)
     scans_np, gt_poses = make_scans()
     n_chunks = N_FRAMES // CHUNK
+    # Stride-skip at decode time, exactly like the production players
+    # (io/feeder.py): identical point subset (it is the filter's first
+    # op), 8x smaller staged buffers, and the runner then filters with
+    # stride 1 — measured ~5% faster than striding on device.
+    stride = kw["point_stride"]
+    kw["point_stride"] = 1
+    strided = np.full((N_FRAMES, RAW_N // stride, 3), np.nan, np.float32)
+    for i in range(N_FRAMES):
+        s = scans_np[i][::stride]
+        strided[i, : len(s)] = s
+    scans_np = strided
 
     # ---- single stream ----
     runner = fp.make_chunk_runner(icp_cfg, consts, **kw)
@@ -151,12 +162,17 @@ def main():
                                          block=4, **kw)
         seq_scans = [scans_np]
         seq_poses = [gt_poses]
+        raw_n = RAW_N // stride
         for b in range(1, B):
             s_b, p_b = make_scans(seed=11 + b)
-            seq_scans.append(s_b)
+            sb = np.full((N_FRAMES, raw_n, 3), np.nan, np.float32)
+            for i in range(N_FRAMES):
+                s = s_b[i][::stride]
+                sb[i, : len(s)] = s
+            seq_scans.append(sb)
             seq_poses.append(p_b)
         batch_np = np.stack(seq_scans).reshape(B, n_chunks, CHUNK,
-                                               RAW_N, 3)
+                                               raw_n, 3)
         cb = fp.init_blocked_carry(B, 262144 * B, 65536 * B)
         chunk0 = jnp.asarray(batch_np[:, 0])
         jax.block_until_ready(chunk0)
