@@ -283,3 +283,20 @@ def test_sharded_icp_optimize_insufficient_falls_back_to_guess():
     assert not bool(ok)
     assert int(n) == 0
     np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-7)
+
+
+def test_owned_cap_margins_cover_measured_overloads():
+    """Scale-aware per-shard point caps (round-5): the margin must cover
+    >= the worst ownership overloads measured on both bench workloads
+    (131k scans: 1.07/1.20/1.36 at S=2/4/8; 16k ring scans:
+    1.38/1.62/2.13) with headroom, while staying bounded."""
+    from lidar_odometry_tpu.parallel.sharded_map import _owned_cap
+    measured = {(131072, 2): 1.072, (131072, 4): 1.203, (131072, 8): 1.36,
+                (16384, 2): 1.382, (16384, 4): 1.616, (16384, 8): 2.132}
+    for (n, s), worst in measured.items():
+        cap = _owned_cap(n, s)
+        margin = cap * s / n
+        assert margin >= worst, (n, s, margin, worst)
+        assert cap <= n
+        assert cap % 256 == 0
+    assert _owned_cap(16384, 1) == 16384

@@ -238,3 +238,22 @@ def test_chunk_feeder_padding_and_tail(tmp_path):
     c0 = chunks[0]
     assert np.isfinite(c0[0, :100]).all() and np.isnan(c0[0, 100:]).all()
     assert np.isfinite(c0[1, :50]).all() and np.isnan(c0[1, 50:]).all()
+
+
+def test_readahead_order_and_errors(tmp_path):
+    from lidar_odometry_tpu.io.feeder import ReadAhead
+    rng = np.random.default_rng(4)
+    paths, clouds = [], []
+    for i in range(5):
+        pts = rng.standard_normal((40 + i, 3)).astype(np.float32)
+        p = str(tmp_path / f"{i:06d}.bin")
+        _write_bin(p, pts)
+        paths.append(p)
+        clouds.append(pts)
+    paths.insert(2, str(tmp_path / "missing.bin"))   # decode error mid-stream
+    from lidar_odometry_tpu.io.kitti import load_kitti_binary
+    got = list(ReadAhead(paths, load_kitti_binary))
+    assert len(got) == 6
+    assert got[2] is None                            # error -> None, stream continues
+    for g, c in zip(got[:2] + got[3:], clouds):
+        np.testing.assert_allclose(g, c, atol=1e-6)

@@ -194,3 +194,35 @@ def test_large_fresh_keyframe_gets_full_surfel_coverage():
                           planarity_threshold=0.1)
     n_surf = int((np.asarray(state.l1_surfel[:, 7]) > 0.5).sum())
     assert n_surf > 0.9 * n_cells, (n_surf, n_cells)
+
+
+def test_degather_pad_preserves_lookup():
+    """The gather-band sidestep (round-5): lookups against a map whose
+    surfel table falls in the padded band are identical to the
+    un-padded semantics (padding rows are never addressed)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lidar_odometry_tpu.ops import voxel_map as vm
+    assert vm._GATHER_BAD_LO <= 262144 < vm._GATHER_BAD_HI
+    from lidar_odometry_tpu.io import synthetic
+    world = synthetic.make_world(seed=6, extent=40.0, n_buildings=10)
+    rng = np.random.default_rng(6)
+    pose = np.eye(4, dtype=np.float32); pose[2, 3] = 1.8
+    pts = synthetic.sample_scan(world, pose, 4000, rng, max_range=35.0,
+                                noise=0.01)[:4000]
+    n_pts = len(pts)
+    st_band = vm.empty_map(65536, 262144)   # surfel table in the band
+    st_ref = vm.empty_map(65536, 16384)     # out of the band
+    for st in (st_band, st_ref):
+        st2 = vm.update_map(st, jnp.asarray(pts), jnp.ones(n_pts, bool),
+                            jnp.zeros(3), 120.0, voxel_size=0.5,
+                            planarity_threshold=0.1)
+        n, c, v = vm.lookup_surfels(st2, jnp.asarray(pts), voxel_size=0.5)
+        if st is st_band:
+            band = (np.asarray(n), np.asarray(c), np.asarray(v))
+        else:
+            ref = (np.asarray(n), np.asarray(c), np.asarray(v))
+    # same points, same build: identical surfel hits and values
+    assert band[2].sum() == ref[2].sum() > 100
+    np.testing.assert_allclose(band[0][band[2]], ref[0][ref[2]], atol=1e-5)
+    np.testing.assert_allclose(band[1][band[2]], ref[1][ref[2]], atol=1e-5)
